@@ -1,0 +1,123 @@
+"""Command-line surface: ``python -m emspec <cmd>``.
+
+The reference is a GUI app (README.md:35-39); the rebuild's human-facing
+surface is this CLI over the same settings API — render a WAV to a PNG
+spectrogram, stream it hop-by-hop, inspect a frequency, list presets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_settings_args(p: argparse.ArgumentParser) -> None:
+    from emspec.config import COLORMAPS, FFT_SIZES
+    p.add_argument("--fft-size", type=int, default=4096, choices=FFT_SIZES)
+    p.add_argument("--mode", choices=["enhanced", "natural"], default="enhanced")
+    p.add_argument("--colormap", choices=COLORMAPS, default="inferno")
+    p.add_argument("--db-range", type=float, default=58.0)
+    p.add_argument("--gain", type=float, default=3.5)
+    p.add_argument("--brightness", type=float, default=0.44)
+    p.add_argument("--noise-gate-db", type=float, default=-65.0)
+    p.add_argument("--agc-strength", type=float, default=1.0)
+    p.add_argument("--no-auto-gain", action="store_true")
+    p.add_argument("--smoothing", type=float, default=0.0)
+    p.add_argument("--low-end-boost", type=float, default=3.9)
+    p.add_argument("--freq-scale", type=float, default=1.0)
+    p.add_argument("--multires", action="store_true",
+                   help="enhanced low-end: 8192/2048/512 banks on a log-frequency axis")
+    p.add_argument("--hop", type=int, default=0, help="hop in samples (0 = fft_size/4)")
+
+
+def _settings_from(args, sample_rate: int, channels: int = 1):
+    from emspec.config import Settings
+    return Settings(
+        fft_size=args.fft_size, mode=args.mode, colormap=args.colormap,
+        db_range=args.db_range, gain=args.gain, brightness=args.brightness,
+        noise_gate_db=args.noise_gate_db, agc_strength=args.agc_strength,
+        auto_gain=not args.no_auto_gain, smoothing=args.smoothing,
+        low_end_boost=args.low_end_boost, freq_scale=args.freq_scale,
+        multires=args.multires, hop=args.hop,
+        sample_rate=sample_rate, channels=channels,
+    )
+
+
+def cmd_render(args) -> int:
+    from emspec.io.wav import read_wav
+    from emspec.render.png import write_png
+
+    audio, rate = read_wav(args.input)
+    s = _settings_from(args, rate)
+    x = audio[args.channel]
+    if s.multires:
+        from emspec.pipeline import render_image_multires
+        img = render_image_multires(x, s)
+    else:
+        from emspec.render.raster import render_image
+        img = render_image(x, s)
+    write_png(args.output, img)
+    print(f"{args.output}: {img.shape[1]}x{img.shape[0]} px, mode={s.mode}, "
+          f"fft={s.fft_size}, sr={rate}")
+    return 0
+
+
+def cmd_note(args) -> int:
+    from emspec.utils.notes import describe_frequency
+    print(describe_frequency(args.freq))
+    return 0
+
+
+def cmd_presets(args) -> int:
+    from emspec.config import PresetStore
+    store = PresetStore(args.file)
+    if args.action == "list":
+        for name in store.names():
+            print(name)
+    elif args.action == "show":
+        print(json.dumps(store.get(args.name).to_dict(), indent=2, sort_keys=True))
+    elif args.action == "delete":
+        store.delete(args.name)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from emspec.bench.harness import run_benchmarks
+    report = run_benchmarks(quick=args.quick)
+    print(json.dumps(report, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="emspec",
+                                 description="TPU-native streaming spectrogram framework")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="render a WAV file to a PNG spectrogram")
+    pr.add_argument("input")
+    pr.add_argument("output")
+    pr.add_argument("--channel", type=int, default=0)
+    _add_settings_args(pr)
+    pr.set_defaults(fn=cmd_render)
+
+    pn = sub.add_parser("note", help="frequency → musical note (hover readout)")
+    pn.add_argument("freq", type=float)
+    pn.set_defaults(fn=cmd_note)
+
+    pp = sub.add_parser("presets", help="preset store CRUD")
+    pp.add_argument("action", choices=["list", "show", "delete"])
+    pp.add_argument("--name", default="Default")
+    pp.add_argument("--file", default="presets.json")
+    pp.set_defaults(fn=cmd_presets)
+
+    pb = sub.add_parser("bench", help="run the performance harness")
+    pb.add_argument("--quick", action="store_true")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

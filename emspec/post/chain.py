@@ -1,0 +1,122 @@
+"""Post-processing chain (L3): linear power → display value in [0, 1].
+
+Reference evidence: the settings glossary README.md:43-51 and every slider
+in assets/settings.png (dB Range, Gain, Noise Gate, AGC Strength,
+Smoothing, Brightness, Low End Boost).  The north star requires the whole
+chain to fuse "into a single XLA pipeline so each hop emits a
+display-ready raster with no host round-trip" [NS] — everything here is
+elementwise / small-reduction jnp, fused by XLA into the hop step.
+
+**Canonical stage order** (the parity contract; the float64 oracle in
+``tests/oracle.py`` implements the identical order — the reference's own
+internal order is unobservable [INF], so this order *is* the spec):
+
+1. ``P *= low_end_ramp(f)``     bass emphasis, power domain (README.md:49)
+2. ``P *= gain``                "Gain" slider, linear power multiplier
+3. ``v = 10·log10(P + 1e-12)``  dB conversion
+4. AGC (if enabled): ``v += strength·(0 − ref)`` with ``ref`` a slow EMA
+   of the pre-AGC per-column peak dB (stateful; "adaptive brightness",
+   README.md:14)
+5. noise gate: ``v → −200 dB`` where ``v < gate_db`` (README.md:51)
+6. normalize: ``vis = clip((v − (0 − db_range)) / db_range, 0, 1)``
+7. temporal smoothing: ``y = α·y_prev + (1−α)·vis`` (stateful, README.md:50)
+8. brightness: ``vis *= 2·brightness`` (0.5 = neutral [INF]); clip to [0,1]
+
+States initialize to ``ref = 0 dB`` (AGC neutral) and ``y = 0`` so that
+streaming and batch processing agree exactly (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from emspec.config import Settings
+
+DB_EPS = 1e-12        # guards log10(0)
+DB_FLOOR = -200.0     # gated cells land here, below any visible range
+AGC_TARGET_DB = 0.0   # AGC steers the EMA'd peak toward full scale
+AGC_DECAY = 0.99      # per-hop EMA coefficient of the AGC reference
+
+
+class PostParams(NamedTuple):
+    """Continuous post-chain parameters — plain jit arguments, moving any
+    of them never recompiles (SURVEY.md §3.3)."""
+    gain: jnp.ndarray            # scalar, linear power multiplier
+    db_range: jnp.ndarray        # scalar, visible dynamic window in dB
+    noise_gate_db: jnp.ndarray   # scalar
+    agc_strength: jnp.ndarray    # scalar in [0, 1]
+    agc_enabled: jnp.ndarray     # scalar {0., 1.} — "Auto Gain" toggle
+    smoothing: jnp.ndarray       # scalar EMA alpha in [0, 1)
+    brightness: jnp.ndarray      # scalar, 0.5 = neutral
+    low_end_ramp: jnp.ndarray    # (rows,) per-row boost factor (precomputed)
+
+    @staticmethod
+    def from_settings(s: Settings, freqs_hz: np.ndarray) -> "PostParams":
+        f32 = lambda v: jnp.float32(v)
+        return PostParams(
+            gain=f32(s.gain),
+            db_range=f32(s.db_range),
+            noise_gate_db=f32(s.noise_gate_db),
+            agc_strength=f32(s.agc_strength),
+            agc_enabled=f32(1.0 if s.auto_gain else 0.0),
+            smoothing=f32(s.smoothing),
+            brightness=f32(s.brightness),
+            low_end_ramp=jnp.asarray(
+                low_end_ramp(freqs_hz, s.low_end_boost, s.low_end_cutoff),
+                dtype=jnp.float32,
+            ),
+        )
+
+
+class PostState(NamedTuple):
+    """Streaming state carried hop→hop (donated in the stream driver)."""
+    smooth: jnp.ndarray   # (..., rows) last smoothed display values
+    agc_ref: jnp.ndarray  # (...,) EMA of per-column peak dB
+
+    @staticmethod
+    def init(shape_rows: tuple) -> "PostState":
+        *lead, _rows = shape_rows
+        return PostState(
+            smooth=jnp.zeros(shape_rows, jnp.float32),
+            agc_ref=jnp.full(tuple(lead), AGC_TARGET_DB, jnp.float32),
+        )
+
+
+def low_end_ramp(freqs_hz: np.ndarray, boost: float, cutoff_hz: float) -> np.ndarray:
+    """Per-frequency bass-boost factor (README.md:49 "Emphasize bass").
+
+    ``boost`` at/below cutoff/2, 1.0 at/above cutoff, linear in log2(f)
+    across the octave in between [INF: smooth multiplicative ramp is the
+    only shape consistent with a single "3.9x" slider].
+    """
+    f = np.maximum(np.asarray(freqs_hz, np.float64), 1e-6)
+    shape = np.clip(np.log2(cutoff_hz / f), 0.0, 1.0)
+    return (1.0 + (float(boost) - 1.0) * shape).astype(np.float32)
+
+
+def postprocess_column(
+    power: jnp.ndarray, state: PostState, p: PostParams
+) -> tuple[jnp.ndarray, PostState]:
+    """One hop: linear power column (..., rows) → display values + new state.
+
+    This is the fused per-column path used by the streaming driver; the
+    batch path ``lax.scan``s it over time (streaming ≡ batch by
+    construction, SURVEY.md §4.4).
+    """
+    boosted = power * p.low_end_ramp * p.gain                      # stages 1-2
+    v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # stage 3
+
+    peak_db = jnp.max(v_db, axis=-1)                               # (...,)
+    new_ref = AGC_DECAY * state.agc_ref + (1.0 - AGC_DECAY) * peak_db
+    agc_offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - new_ref)
+    v_db = v_db + agc_offset[..., None]                            # stage 4
+
+    v_db = jnp.where(v_db < p.noise_gate_db, DB_FLOOR, v_db)       # stage 5
+    vis = jnp.clip((v_db - (AGC_TARGET_DB - p.db_range)) / p.db_range, 0.0, 1.0)
+
+    smoothed = p.smoothing * state.smooth + (1.0 - p.smoothing) * vis  # stage 7
+    out = jnp.clip(smoothed * (2.0 * p.brightness), 0.0, 1.0)          # stage 8
+    return out, PostState(smooth=smoothed, agc_ref=new_ref)

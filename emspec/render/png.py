@@ -1,0 +1,37 @@
+"""Minimal dependency-free PNG writer (offline renderer output, L4).
+
+The reference renders to a desktop window (README.md:35-39); the rebuild's
+product boundary is the display-ready uint8 RGBA raster [NS], and this
+writer exists so humans can eyeball it (SURVEY.md §2.4 "offline PNG
+renderer for eyeballing").  Stdlib zlib + struct only.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+
+def write_png(path: str | Path, rgba: np.ndarray) -> None:
+    """Write (H, W, 4) uint8 RGBA (or (H, W, 3) RGB) as a PNG file."""
+    img = np.asarray(rgba)
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError(f"expected (H,W,3|4) uint8, got {img.shape} {img.dtype}")
+    h, w, c = img.shape
+    color_type = 6 if c == 4 else 2
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 (None) prepended to each scanline
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(raw, 6))
+               + chunk(b"IEND", b""))
+    Path(path).write_bytes(payload)

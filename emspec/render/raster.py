@@ -1,0 +1,60 @@
+"""Offline raster assembly (L4): spectrogram values → display RGBA image.
+
+The waterfall orientation matches the reference display
+(assets/spectrogram.png: time runs horizontally, frequency vertically
+with bass at the bottom, Inferno colormap).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emspec.config import MODE_ENHANCED, Settings
+from emspec.dsp.reassign import reassigned_spectrogram
+from emspec.dsp.stft import power_spectrogram
+from emspec.post.chain import PostParams, PostState, postprocess_column
+from emspec.post.colormap import apply_lut, lut
+
+
+def analyze(x: jnp.ndarray, s: Settings) -> jnp.ndarray:
+    """(samples,) → linear power spectrogram (frames, bins) per mode.
+
+    Enhanced = reassignment remap [NS configs[1]]; Natural = plain |X_h|^2
+    [NS configs[0]] (reference: settings.png Enhanced/Natural buttons).
+    """
+    n, hop = s.fft_size, s.hop if s.hop > 0 else s.fft_size // 4
+    if s.mode == MODE_ENHANCED:
+        return reassigned_spectrogram(x, n, hop)
+    return power_spectrogram(x, n, hop)
+
+
+def postprocess(power_tk: jnp.ndarray, freqs_hz: np.ndarray, s: Settings) -> jnp.ndarray:
+    """Batch post chain: scan the per-column chain over time (identical
+    state evolution to the streaming driver — SURVEY.md §4.4)."""
+    p = PostParams.from_settings(s, freqs_hz)
+    state = PostState.init(power_tk.shape[:-2] + (power_tk.shape[-1],))
+
+    def step(st, col):
+        out, st = postprocess_column(col, st, p)
+        return st, out
+
+    _, vis = jax.lax.scan(step, state, jnp.swapaxes(power_tk, 0, -2)
+                          if power_tk.ndim > 2 else power_tk)
+    return vis
+
+
+def render_image(x, s: Settings) -> np.ndarray:
+    """(samples,) float32 audio → (bins, frames, 4) uint8 RGBA image.
+
+    Single-bank offline path (linear frequency axis); the multi-res
+    log-frequency display path lives in ``emspec.pipeline``.
+    """
+    power = analyze(jnp.asarray(x, jnp.float32), s)
+    n = s.fft_size
+    freqs = np.arange(n // 2 + 1) * (s.sample_rate / n)
+    vis = postprocess(power, freqs, s)
+    rgba = apply_lut(vis, jnp.asarray(lut(s.colormap)))
+    img = np.asarray(rgba)                  # (frames, bins, 4)
+    return img.transpose(1, 0, 2)[::-1]     # freq vertical, bass at bottom

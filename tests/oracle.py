@@ -1,0 +1,148 @@
+"""Float64 numpy oracle — independent naive implementation of every stage.
+
+Written once from the math in SURVEY.md §2.2 (Auger–Flandrin reassignment
+operators, Fulop & Fitz) and the canonical post-chain order documented in
+``emspec/post/chain.py``'s module docstring — deliberately *not* from the
+JAX code (SURVEY.md §4.1).  Everything is float64, loops are allowed,
+clarity beats speed.  All parity tests compare the float32 JAX pipeline
+against this within per-stage tolerances.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DB_EPS = 1e-12
+DB_FLOOR = -200.0
+AGC_TARGET_DB = 0.0
+AGC_DECAY = 0.99
+
+
+# ---------------------------------------------------------------- windows
+def windows(n: int):
+    """(h, th, dh) in float64: periodic Hann, centered time-weighted Hann,
+    analytic derivative dh/dn."""
+    h = np.zeros(n)
+    th = np.zeros(n)
+    dh = np.zeros(n)
+    for i in range(n):
+        h[i] = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / n)
+        th[i] = (i - n / 2.0) * h[i]
+        dh[i] = (np.pi / n) * np.sin(2.0 * np.pi * i / n)
+    return h, th, dh
+
+
+# -----------------------------------------------------------------framing
+def frames_of(x: np.ndarray, n: int, hop: int) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    t = 0 if len(x) < n else (len(x) - n) // hop + 1
+    out = np.zeros((t, n))
+    for i in range(t):
+        out[i] = x[i * hop: i * hop + n]
+    return out
+
+
+# -------------------------------------------------------------------- stft
+def stft(x: np.ndarray, n: int, hop: int, window: np.ndarray) -> np.ndarray:
+    f = frames_of(x, n, hop)
+    return np.fft.rfft(f * window[None, :], axis=-1)
+
+
+def power_spectrogram(x: np.ndarray, n: int, hop: int) -> np.ndarray:
+    h, _, _ = windows(n)
+    X = stft(x, n, hop, h)
+    return np.abs(X) ** 2
+
+
+# ------------------------------------------------------------- reassignment
+def reassigned_spectrogram(
+    x: np.ndarray, n: int, hop: int, power_floor: float = 1e-12
+) -> np.ndarray:
+    """Naive loop implementation of the reassignment scatter."""
+    h, th, dh = windows(n)
+    X_h = stft(x, n, hop, h)
+    X_th = stft(x, n, hop, th)
+    X_dh = stft(x, n, hop, dh)
+    t_count, k_count = X_h.shape
+    out = np.zeros((t_count, k_count))
+    for t in range(t_count):
+        for k in range(k_count):
+            p = abs(X_h[t, k]) ** 2
+            if p <= power_floor:
+                continue
+            cross_t = X_th[t, k] * np.conj(X_h[t, k])
+            cross_d = X_dh[t, k] * np.conj(X_h[t, k])
+            dt = cross_t.real / p          # samples from frame center
+            dw = -cross_d.imag / p         # rad/sample
+            if abs(dt) > n:
+                continue
+            t_hat = t + dt / hop
+            f_hat = k + dw * n / (2.0 * np.pi)
+            tb = int(round(t_hat))
+            fb = int(round(f_hat))
+            if 0 <= tb < t_count and 0 <= fb < k_count:
+                out[tb, fb] += p
+    return out
+
+
+def corrections(x: np.ndarray, n: int, hop: int):
+    """(power, dt_samples, dw_rad_per_sample) per (frame, bin) — for
+    stage-level parity of the correction operators alone."""
+    h, th, dh = windows(n)
+    X_h = stft(x, n, hop, h)
+    X_th = stft(x, n, hop, th)
+    X_dh = stft(x, n, hop, dh)
+    p = np.abs(X_h) ** 2
+    safe = np.maximum(p, 1e-30)
+    dt = (X_th * np.conj(X_h)).real / safe
+    dw = -(X_dh * np.conj(X_h)).imag / safe
+    return p, dt, dw
+
+
+# -------------------------------------------------------------- post chain
+def low_end_ramp(freqs_hz: np.ndarray, boost: float, cutoff_hz: float) -> np.ndarray:
+    f = np.maximum(np.asarray(freqs_hz, np.float64), 1e-6)
+    shape = np.clip(np.log2(cutoff_hz / f), 0.0, 1.0)
+    return 1.0 + (boost - 1.0) * shape
+
+
+def postprocess(
+    power_tk: np.ndarray,         # (t, rows) linear power over time
+    freqs_hz: np.ndarray,         # (rows,)
+    gain: float, db_range: float, noise_gate_db: float,
+    agc_strength: float, agc_enabled: bool,
+    smoothing: float, brightness: float,
+    low_end_boost: float, low_end_cutoff: float,
+) -> np.ndarray:
+    """Sequential (stateful) post chain over time, canonical order 1-8."""
+    ramp = low_end_ramp(freqs_hz, low_end_boost, low_end_cutoff)
+    t_count, rows = power_tk.shape
+    out = np.zeros((t_count, rows))
+    smooth = np.zeros(rows)
+    agc_ref = AGC_TARGET_DB
+    for t in range(t_count):
+        p = power_tk[t] * ramp * gain                      # 1-2
+        v = 10.0 * np.log10(p + DB_EPS)                    # 3
+        peak = np.max(v)
+        agc_ref = AGC_DECAY * agc_ref + (1.0 - AGC_DECAY) * peak
+        if agc_enabled:
+            v = v + agc_strength * (AGC_TARGET_DB - agc_ref)   # 4
+        v = np.where(v < noise_gate_db, DB_FLOOR, v)       # 5
+        vis = np.clip((v - (AGC_TARGET_DB - db_range)) / db_range, 0.0, 1.0)  # 6
+        smooth = smoothing * smooth + (1.0 - smoothing) * vis  # 7
+        out[t] = np.clip(smooth * (2.0 * brightness), 0.0, 1.0)  # 8
+    return out
+
+
+# ---------------------------------------------------------- log-freq merge
+def log_freq_axis(rows: int, f_min: float, f_max: float, zoom: float = 1.0) -> np.ndarray:
+    """Row-center frequencies: log-spaced f_min→f_max; ``zoom`` (Freq Scale)
+    narrows the span toward f_min by 1/zoom of the log range."""
+    lo, hi = np.log2(f_min), np.log2(f_max)
+    hi_z = lo + (hi - lo) / zoom
+    return 2.0 ** np.linspace(lo, hi_z, rows)
+
+
+def interp_to_rows(spec_k: np.ndarray, bin_freqs: np.ndarray, row_freqs: np.ndarray) -> np.ndarray:
+    """Linear interpolation of one spectrum onto the display rows."""
+    return np.interp(row_freqs, bin_freqs, spec_k)

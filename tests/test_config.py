@@ -1,0 +1,82 @@
+"""Settings-surface tests: defaults match the reference panel
+(assets/settings.png), preset CRUD round-trips, structural split."""
+
+import json
+
+import pytest
+
+from emspec.config import (
+    FFT_SIZES, PresetStore, Settings, is_structural_change,
+)
+
+
+def test_defaults_match_reference_panel():
+    s = Settings()
+    assert s.fft_size == 4096          # settings.png dropdown
+    assert s.colormap == "inferno"
+    assert s.brightness == pytest.approx(0.44)
+    assert s.db_range == 58.0
+    assert s.gain == 3.5
+    assert s.freq_scale == 1.0
+    assert s.low_end_boost == 3.9
+    assert s.noise_gate_db == -65.0
+    assert s.agc_strength == 1.0
+    assert s.smoothing == 0.0
+    assert s.scroll_speed == 1.0
+    assert s.mode == "enhanced"
+    assert s.auto_gain is True
+
+
+def test_fft_size_envelope():
+    assert FFT_SIZES == (512, 1024, 2048, 4096, 8192, 16384, 32768)
+    with pytest.raises(ValueError):
+        Settings(fft_size=1000)
+
+
+def test_validation():
+    with pytest.raises(ValueError):
+        Settings(mode="turbo")
+    with pytest.raises(ValueError):
+        Settings(colormap="rainbow")
+    with pytest.raises(ValueError):
+        Settings(smoothing=1.0)
+
+
+def test_structural_vs_continuous_split():
+    s = Settings()
+    assert is_structural_change(s, s.replace(fft_size=8192))
+    assert is_structural_change(s, s.replace(mode="natural"))
+    assert not is_structural_change(s, s.replace(gain=7.0))
+    assert not is_structural_change(s, s.replace(colormap="viridis"))
+    assert not is_structural_change(s, s.replace(smoothing=0.5, db_range=80.0))
+
+
+def test_hop_auto():
+    assert Settings(multires=False, fft_size=2048).hop_samples == 512
+    assert Settings(multires=True).hop_samples == 128  # smallest bank 512 // 4
+    assert Settings(hop=100).hop_samples == 100
+
+
+def test_roundtrip_dict():
+    s = Settings(gain=9.0, multires_sizes=(4096, 1024, 512))
+    assert Settings.from_dict(json.loads(json.dumps(s.to_dict()))) == s
+
+
+def test_preset_store_crud(tmp_path):
+    p = tmp_path / "presets.json"
+    store = PresetStore(p)
+    assert store.names() == ["Default"]
+    store.add("Bass", Settings(low_end_boost=8.0))
+    store2 = PresetStore(p)  # reload from disk
+    assert store2.get("Bass").low_end_boost == 8.0
+    store2.delete("Bass")
+    assert PresetStore(p).names() == ["Default"]
+    with pytest.raises(ValueError):
+        store2.delete("Default")
+
+
+def test_preset_store_corrupt_falls_back(tmp_path):
+    p = tmp_path / "presets.json"
+    p.write_text("{not json")
+    store = PresetStore(p)  # must not raise (SURVEY.md §5.3)
+    assert store.names() == ["Default"]
