@@ -1,0 +1,237 @@
+"""Pipeline builder: settings → fused jitted hop→raster functions (L2–L4 glue).
+
+This is the product's hot path (SURVEY.md §3.2).  One ``Pipeline`` object
+per structural-settings combination; continuous sliders are members of the
+``PipelineParams`` pytree and never recompile (SURVEY.md §3.3).
+
+Display-path design for the multires banks [NS configs[2]]:
+
+* **Natural mode**: per-bank |X_h|² → precomputed gather/lerp merge onto
+  the log-frequency rows with raised-cosine band crossfades
+  (``emspec.dsp.multires``).
+* **Enhanced mode**: the reassignment scatters **directly onto the display
+  grid** — row index from the inverse log-frequency map of the reassigned
+  frequency f̂, column offset from Δt/hop.  One scatter, no second
+  interpolation pass: sharper (reassigned energy is a 2-D histogram on
+  the raster, which is what the reference's sharpened display is) and
+  cheaper on TPU.  Band crossfade weights are evaluated at the *source*
+  bin frequency (that is where each bank's reliability is defined) [INF].
+
+Per-unit normalization: each bank's power is scaled 1/N² so a stationary
+tone displays equally bright through any bank (Hann coherent power gain
+is N²/4; the residual 4 is absorbed by the Gain slider).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emspec.config import MODE_ENHANCED, Settings
+from emspec.dsp.frame import frame_signal, num_frames
+from emspec.dsp.multires import (
+    MergeTables, bank_offsets, build_merge_tables, merge_columns,
+)
+from emspec.dsp.reassign import reassignment_corrections
+from emspec.dsp.windows import window_triple, hann
+from emspec.post.chain import PostParams, PostState, postprocess_column
+from emspec.post.colormap import apply_lut, lut
+
+
+class PipelineParams(NamedTuple):
+    """Everything continuous: post-chain params + merge tables as arrays.
+    Swapping any of these (slider moves, colormap change, Freq-Scale zoom)
+    re-uses the compiled step."""
+    post: PostParams
+    lut: jnp.ndarray                 # (256, 4) uint8
+    # enhanced-mode row map:  row = (log2(f_hz) - a) * b
+    logmap_a: jnp.ndarray            # scalar: log2(f_min)
+    logmap_b: jnp.ndarray            # scalar: rows_per_log2
+    # natural-mode merge tables (per bank)
+    i0: tuple                        # (rows,) int32
+    w0: tuple                        # (rows,) float32
+    band_rows: tuple                 # (rows,) float32 band weight per row
+    band_bins: tuple                 # (K_b,) float32 band weight per source bin
+
+
+def _row_map_consts(tables: MergeTables, rows: int):
+    f = tables.row_freqs
+    a = np.log2(f[0])
+    b = (rows - 1) / (np.log2(f[-1]) - np.log2(f[0]))
+    return np.float32(a), np.float32(b)
+
+
+class Pipeline:
+    """Compiled analysis+display pipeline for one structural configuration."""
+
+    def __init__(self, settings: Settings):
+        s = settings
+        self.settings = s
+        self.sizes = s.active_fft_sizes
+        self.hop = s.hop_samples
+        self.offsets = bank_offsets(self.sizes)
+        self.n_max = max(self.sizes)
+        self.rows = s.raster_height
+        self.tables = build_merge_tables(
+            self.sizes, s.sample_rate, self.rows, s.freq_min, s.freq_scale,
+            s.crossover_low, s.crossover_high)
+        self.row_freqs = self.tables.row_freqs
+        self._batch_jit = jax.jit(self._batch_vis, static_argnames=("t_count",))
+
+    # ---------------- params ----------------
+    def params(self, settings: Settings | None = None) -> PipelineParams:
+        """Build the continuous-param pytree (cheap; call on slider moves)."""
+        s = settings or self.settings
+        tables = self.tables
+        if s.freq_scale != self.settings.freq_scale:
+            tables = build_merge_tables(
+                self.sizes, s.sample_rate, self.rows, s.freq_min, s.freq_scale,
+                s.crossover_low, s.crossover_high)
+        a, b = _row_map_consts(tables, self.rows)
+        band_bins = []
+        for n, bw_rows in zip(self.sizes, tables.band_w):
+            bin_f = np.arange(n // 2 + 1) * (s.sample_rate / n)
+            # band weight per source bin: interpolate the per-row weights
+            band_bins.append(np.interp(
+                bin_f, tables.row_freqs, bw_rows,
+                left=float(bw_rows[0]), right=float(bw_rows[-1]),
+            ).astype(np.float32))
+        return PipelineParams(
+            post=PostParams.from_settings(s, tables.row_freqs),
+            lut=jnp.asarray(lut(s.colormap)),
+            logmap_a=jnp.float32(a), logmap_b=jnp.float32(b),
+            i0=tuple(jnp.asarray(i) for i in tables.i0),
+            w0=tuple(jnp.asarray(w) for w in tables.w0),
+            band_rows=tuple(jnp.asarray(w) for w in tables.band_w),
+            band_bins=tuple(jnp.asarray(w) for w in band_bins),
+        )
+
+    # ---------------- analysis ----------------
+    def _bank_frames(self, x: jnp.ndarray, t_count: int):
+        """Center-aligned per-bank frames: bank b frame t covers
+        [offset_b + t*hop, … + N_b) so all columns share their center."""
+        out = []
+        for n, off in zip(self.sizes, self.offsets):
+            end = off + (t_count - 1) * self.hop + n
+            out.append(frame_signal(x[..., off:end], n, self.hop))
+        return out
+
+    def _natural_power(self, x, t_count, p: PipelineParams):
+        specs = []
+        for frames, n in zip(self._bank_frames(x, t_count), self.sizes):
+            w = jnp.asarray(hann(n))
+            X = jnp.fft.rfft(frames * w, axis=-1)
+            specs.append((X.real**2 + X.imag**2).astype(jnp.float32))
+        tables = MergeTables(self.row_freqs,
+                             tuple(p.i0), tuple(p.w0), tuple(p.band_rows))
+        return merge_columns(tuple(specs), tables)          # (..., t, rows)
+
+    def _enhanced_power(self, x, t_count, p: PipelineParams):
+        """Reassigned 2-D histogram directly on the (t, rows) display grid."""
+        sr = float(self.settings.sample_rate)
+        cols_list, rows_list, pow_list = [], [], []
+        for frames, n, bb in zip(self._bank_frames(x, t_count), self.sizes,
+                                 p.band_bins):
+            w3 = jnp.asarray(window_triple(n))
+            shaped = w3.reshape((3,) + (1,) * (frames.ndim - 1) + (n,))
+            X = jnp.fft.rfft(frames[None, ...] * shaped, axis=-1)
+            power, dt, dw = reassignment_corrections(X[0], X[1], X[2])
+            k_count = n // 2 + 1
+            t_idx = jnp.arange(t_count, dtype=jnp.float32)[:, None]
+            k_idx = jnp.arange(k_count, dtype=jnp.float32)[None, :]
+            f_hat = (k_idx + dw * (n / (2.0 * np.pi))) * (sr / n)   # Hz
+            col = jnp.round(t_idx + dt / self.hop).astype(jnp.int32)
+            # inverse log-frequency map → display row
+            row_f = (jnp.log2(jnp.maximum(f_hat, 1e-6)) - p.logmap_a) * p.logmap_b
+            row = jnp.round(row_f).astype(jnp.int32)
+            valid = (
+                (power > 1e-12)
+                & (col >= 0) & (col < t_count)
+                & (row >= 0) & (row < self.rows)
+                & (f_hat > 0)
+                & (jnp.abs(dt) <= float(n))
+            )
+            contrib = jnp.where(valid, power * bb * (1.0 / float(n * n)), 0.0)
+            cols_list.append(jnp.clip(col, 0, t_count - 1)
+                             + jnp.zeros_like(contrib, jnp.int32))
+            rows_list.append(jnp.clip(row, 0, self.rows - 1))
+            pow_list.append(contrib)
+
+        # one fused scatter for all banks: flatten ids into the t*rows grid
+        def flat(parts, leading_shape):
+            return jnp.concatenate(
+                [a.reshape(leading_shape + (-1,)) for a in parts], axis=-1)
+
+        lead = x.shape[:-1]
+        ids = flat([c * self.rows + r for c, r in zip(cols_list, rows_list)], lead)
+        vals = flat(pow_list, lead)
+
+        def one(ids1, vals1):
+            out = jax.ops.segment_sum(vals1, ids1,
+                                      num_segments=t_count * self.rows)
+            return out.reshape(t_count, self.rows)
+
+        if lead:
+            out = jax.vmap(one)(ids.reshape((-1, ids.shape[-1])),
+                                vals.reshape((-1, vals.shape[-1])))
+            return out.reshape(lead + (t_count, self.rows))
+        return one(ids, vals)
+
+    # ---------------- full batch path ----------------
+    def _batch_vis(self, x, p: PipelineParams, state: PostState, t_count: int):
+        power = (self._enhanced_power(x, t_count, p)
+                 if self.settings.mode == MODE_ENHANCED
+                 else self._natural_power(x, t_count, p))    # (..., t, rows)
+        cols_first = jnp.moveaxis(power, -2, 0)              # (t, ..., rows)
+
+        def step(st, col):
+            out, st = postprocess_column(col, st, p.post)
+            return st, out
+
+        state, vis = jax.lax.scan(step, state, cols_first)
+        rgba = apply_lut(vis, p.lut)                          # (t, ..., rows, 4)
+        return vis, rgba, state
+
+    def num_columns(self, num_samples: int) -> int:
+        return num_frames(num_samples, self.n_max, self.hop)
+
+    def process(self, x, params: PipelineParams | None = None,
+                state: PostState | None = None):
+        """Whole-signal batch processing.
+
+        x: (..., samples) → (vis (t, ..., rows), rgba uint8 (t, ..., rows, 4),
+        final PostState).  Streaming ≡ batch: the scan inside evolves the
+        identical per-column state as the streaming driver (SURVEY.md §4.4).
+        """
+        x = jnp.asarray(x, jnp.float32)
+        t_count = self.num_columns(x.shape[-1])
+        if t_count <= 0:
+            raise ValueError(
+                f"need at least {self.n_max} samples, got {x.shape[-1]}")
+        p = params or self.params()
+        st = state or PostState.init(x.shape[:-1] + (self.rows,))
+        return self._batch_jit(x, p, st, t_count)
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_pipeline(settings: Settings) -> Pipeline:
+    return Pipeline(settings)
+
+
+def get_pipeline(settings: Settings) -> Pipeline:
+    """Pipeline cache keyed by (frozen) Settings — pre-warming the dropdown's
+    FFT-size set amounts to calling this for each size (SURVEY.md §7 hard
+    part 3)."""
+    return _cached_pipeline(settings)
+
+
+def render_image_multires(x, settings: Settings) -> np.ndarray:
+    """(samples,) audio → (rows, t, 4) uint8 RGBA log-frequency image."""
+    pipe = get_pipeline(settings)
+    _, rgba, _ = pipe.process(x)
+    img = np.asarray(rgba)            # (t, rows, 4)
+    return img.transpose(1, 0, 2)[::-1]

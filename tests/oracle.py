@@ -139,10 +139,101 @@ def log_freq_axis(rows: int, f_min: float, f_max: float, zoom: float = 1.0) -> n
     """Row-center frequencies: log-spaced f_min→f_max; ``zoom`` (Freq Scale)
     narrows the span toward f_min by 1/zoom of the log range."""
     lo, hi = np.log2(f_min), np.log2(f_max)
-    hi_z = lo + (hi - lo) / zoom
+    hi_z = lo + (hi - lo) / max(zoom, 1e-3)
     return 2.0 ** np.linspace(lo, hi_z, rows)
 
 
 def interp_to_rows(spec_k: np.ndarray, bin_freqs: np.ndarray, row_freqs: np.ndarray) -> np.ndarray:
     """Linear interpolation of one spectrum onto the display rows."""
     return np.interp(row_freqs, bin_freqs, spec_k)
+
+
+def band_weights(row_freqs, sizes, crossover_low, crossover_high,
+                 fade_octaves=0.5):
+    """Partition-of-unity band weights per bank (largest FFT first),
+    raised-cosine fades of ±fade/2 octave around each crossover."""
+    def lowpass(f, edge):
+        x = np.clip(np.log2(np.maximum(f, 1e-9) / edge) / fade_octaves + 0.5,
+                    0.0, 1.0)
+        return 0.5 * (1.0 + np.cos(np.pi * x))
+
+    edges = [crossover_low, crossover_high]
+    out = np.zeros((len(sizes), len(row_freqs)))
+    remaining = np.ones(len(row_freqs))
+    for b in range(len(sizes)):
+        if b == len(sizes) - 1:
+            out[b] = remaining
+        else:
+            lp = lowpass(row_freqs, edges[b])
+            out[b] = remaining * lp
+            remaining = remaining * (1.0 - lp)
+    return out
+
+
+def _center_aligned_frames_count(num_samples, sizes, hop):
+    n_max = max(sizes)
+    return 0 if num_samples < n_max else (num_samples - n_max) // hop + 1
+
+
+def multires_natural(x, sizes, hop, rows, sample_rate, f_min, zoom,
+                     crossover_low, crossover_high):
+    """Natural-mode multires merge: per-bank |X_h|² center-aligned,
+    lerp onto the log rows, band-weighted, scaled 1/N² per bank."""
+    x = np.asarray(x, np.float64)
+    n_max = max(sizes)
+    t_count = _center_aligned_frames_count(len(x), sizes, hop)
+    row_freqs = log_freq_axis(rows, f_min, sample_rate / 2.0, zoom)
+    bw = band_weights(row_freqs, sizes, crossover_low, crossover_high)
+    out = np.zeros((t_count, rows))
+    for b, n in enumerate(sizes):
+        off = (n_max - n) // 2
+        h, _, _ = windows(n)
+        bin_f = np.arange(n // 2 + 1) * (sample_rate / n)
+        for t in range(t_count):
+            frame = x[off + t * hop: off + t * hop + n]
+            spec = np.abs(np.fft.rfft(frame * h)) ** 2
+            out[t] += np.interp(row_freqs, bin_f, spec) * bw[b] / (n * n)
+    return out
+
+
+def multires_enhanced(x, sizes, hop, rows, sample_rate, f_min, zoom,
+                      crossover_low, crossover_high, power_floor=1e-12):
+    """Enhanced-mode multires: reassigned energy histogrammed directly on
+    the (t, rows) log-frequency display grid; band weights evaluated at
+    the source bin frequency."""
+    x = np.asarray(x, np.float64)
+    n_max = max(sizes)
+    t_count = _center_aligned_frames_count(len(x), sizes, hop)
+    row_freqs = log_freq_axis(rows, f_min, sample_rate / 2.0, zoom)
+    bw_rows = band_weights(row_freqs, sizes, crossover_low, crossover_high)
+    a = np.log2(row_freqs[0])
+    bmap = (rows - 1) / (np.log2(row_freqs[-1]) - np.log2(row_freqs[0]))
+    out = np.zeros((t_count, rows))
+    for b, n in enumerate(sizes):
+        off = (n_max - n) // 2
+        h, th, dh = windows(n)
+        k_count = n // 2 + 1
+        bin_f = np.arange(k_count) * (sample_rate / n)
+        bw_bins = np.interp(bin_f, row_freqs, bw_rows[b],
+                            left=bw_rows[b][0], right=bw_rows[b][-1])
+        for t in range(t_count):
+            frame = x[off + t * hop: off + t * hop + n]
+            X_h = np.fft.rfft(frame * h)
+            X_th = np.fft.rfft(frame * th)
+            X_dh = np.fft.rfft(frame * dh)
+            for k in range(k_count):
+                p = abs(X_h[k]) ** 2
+                if p <= power_floor:
+                    continue
+                dt = (X_th[k] * np.conj(X_h[k])).real / p
+                dw = -(X_dh[k] * np.conj(X_h[k])).imag / p
+                if abs(dt) > n:
+                    continue
+                f_hat = (k + dw * n / (2 * np.pi)) * (sample_rate / n)
+                if f_hat <= 0:
+                    continue
+                col = int(round(t + dt / hop))
+                row = int(round((np.log2(max(f_hat, 1e-6)) - a) * bmap))
+                if 0 <= col < t_count and 0 <= row < rows:
+                    out[col, row] += p * bw_bins[k] / (n * n)
+    return out
