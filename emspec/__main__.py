@@ -63,6 +63,33 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_stream(args) -> int:
+    """Feed a WAV through the real-time streaming path into a scrolling
+    waterfall, then snapshot the waterfall to PNG."""
+    from emspec.io.wav import read_wav
+    from emspec.render.png import write_png
+    from emspec.render.waterfall import Waterfall
+    from emspec.stream import Stream
+
+    audio, rate = read_wav(args.input)
+    s = _settings_from(args, rate).replace(multires=True)
+    stream = Stream(s)
+    wf = Waterfall(args.width, s.raster_height, s.scroll_speed)
+    x = audio[args.channel]
+    n_cols = 0
+    for i in range(0, len(x), args.chunk):
+        for col in stream.push(x[i:i + args.chunk]):
+            wf.add_column(col.rgba)
+            n_cols += 1
+    for col in stream.flush():
+        wf.add_column(col.rgba)
+        n_cols += 1
+    write_png(args.output, wf.image())
+    print(f"{args.output}: streamed {n_cols} columns "
+          f"(reach={stream.reach} hops), waterfall {args.width}x{s.raster_height}")
+    return 0
+
+
 def cmd_note(args) -> int:
     from emspec.utils.notes import describe_frequency
     print(describe_frequency(args.freq))
@@ -100,6 +127,15 @@ def main(argv=None) -> int:
     pr.add_argument("--channel", type=int, default=0)
     _add_settings_args(pr)
     pr.set_defaults(fn=cmd_render)
+
+    ps = sub.add_parser("stream", help="stream a WAV hop-by-hop into a scrolling waterfall PNG")
+    ps.add_argument("input")
+    ps.add_argument("output")
+    ps.add_argument("--channel", type=int, default=0)
+    ps.add_argument("--chunk", type=int, default=1024, help="samples per push")
+    ps.add_argument("--width", type=int, default=1024, help="waterfall columns")
+    _add_settings_args(ps)
+    ps.set_defaults(fn=cmd_stream)
 
     pn = sub.add_parser("note", help="frequency → musical note (hover readout)")
     pn.add_argument("freq", type=float)

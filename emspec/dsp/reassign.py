@@ -64,12 +64,13 @@ def reassigned_bins(
     out-of-range / sub-floor cells carry zero power and clamped indices.
     """
     k_count = n // 2 + 1
-    t_idx = jnp.arange(num_frames, dtype=jnp.float32)[:, None]      # (t, 1)
+    t_idx = jnp.arange(num_frames, dtype=jnp.int32)[:, None]        # (t, 1)
     k_idx = jnp.arange(k_count, dtype=jnp.float32)[None, :]          # (1, k)
-    # frame centers are hop samples apart → Δt in samples / hop = Δ columns
-    t_hat = t_idx + dt / float(hop)
+    # frame centers are hop samples apart → Δt in samples / hop = Δ columns.
+    # The column offset is rounded *relative* (δ then + t) so batch,
+    # streaming, and the float64 oracle quantize identically at any t.
+    t_bin = t_idx + jnp.round(dt / float(hop)).astype(jnp.int32)
     f_hat = k_idx + dw * (float(n) / (2.0 * jnp.pi))                 # in bin units
-    t_bin = jnp.round(t_hat).astype(jnp.int32)
     f_bin = jnp.round(f_hat).astype(jnp.int32)
     valid = (
         (power > power_floor)

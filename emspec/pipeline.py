@@ -130,56 +130,61 @@ class Pipeline:
                              tuple(p.i0), tuple(p.w0), tuple(p.band_rows))
         return merge_columns(tuple(specs), tables)          # (..., t, rows)
 
-    def _enhanced_power(self, x, t_count, p: PipelineParams):
-        """Reassigned 2-D histogram directly on the (t, rows) display grid."""
+    def _deposits(self, frames_list, p: PipelineParams):
+        """Shared by batch and streaming: per-bank frames (..., N_b) →
+        flattened ``(row, col_delta, contrib)`` each (..., ΣK_b).
+
+        ``col_delta = round(Δt/hop)`` is the *relative* column offset —
+        the caller adds its own absolute column index and applies its own
+        column-range mask (contrib is already zeroed for every other
+        invalidity: sub-floor power, out-of-axis row, |Δt| > N)."""
         sr = float(self.settings.sample_rate)
-        cols_list, rows_list, pow_list = [], [], []
-        for frames, n, bb in zip(self._bank_frames(x, t_count), self.sizes,
-                                 p.band_bins):
+        rows_l, delta_l, contrib_l = [], [], []
+        for frames, n, bb in zip(frames_list, self.sizes, p.band_bins):
             w3 = jnp.asarray(window_triple(n))
             shaped = w3.reshape((3,) + (1,) * (frames.ndim - 1) + (n,))
             X = jnp.fft.rfft(frames[None, ...] * shaped, axis=-1)
             power, dt, dw = reassignment_corrections(X[0], X[1], X[2])
             k_count = n // 2 + 1
-            t_idx = jnp.arange(t_count, dtype=jnp.float32)[:, None]
-            k_idx = jnp.arange(k_count, dtype=jnp.float32)[None, :]
+            k_idx = jnp.arange(k_count, dtype=jnp.float32)
             f_hat = (k_idx + dw * (n / (2.0 * np.pi))) * (sr / n)   # Hz
-            col = jnp.round(t_idx + dt / self.hop).astype(jnp.int32)
-            # inverse log-frequency map → display row
+            delta = jnp.round(dt / float(self.hop)).astype(jnp.int32)
             row_f = (jnp.log2(jnp.maximum(f_hat, 1e-6)) - p.logmap_a) * p.logmap_b
             row = jnp.round(row_f).astype(jnp.int32)
             valid = (
                 (power > 1e-12)
-                & (col >= 0) & (col < t_count)
                 & (row >= 0) & (row < self.rows)
                 & (f_hat > 0)
                 & (jnp.abs(dt) <= float(n))
             )
             contrib = jnp.where(valid, power * bb * (1.0 / float(n * n)), 0.0)
-            cols_list.append(jnp.clip(col, 0, t_count - 1)
-                             + jnp.zeros_like(contrib, jnp.int32))
-            rows_list.append(jnp.clip(row, 0, self.rows - 1))
-            pow_list.append(contrib)
+            rows_l.append(jnp.clip(row, 0, self.rows - 1))
+            delta_l.append(delta)
+            contrib_l.append(contrib)
+        cat = lambda parts: jnp.concatenate(
+            [a.reshape(a.shape[:-1] + (-1,)) for a in parts], axis=-1)
+        return cat(rows_l), cat(delta_l), cat(contrib_l)
 
-        # one fused scatter for all banks: flatten ids into the t*rows grid
-        def flat(parts, leading_shape):
-            return jnp.concatenate(
-                [a.reshape(leading_shape + (-1,)) for a in parts], axis=-1)
-
-        lead = x.shape[:-1]
-        ids = flat([c * self.rows + r for c, r in zip(cols_list, rows_list)], lead)
-        vals = flat(pow_list, lead)
+    def _enhanced_power(self, x, t_count, p: PipelineParams):
+        """Reassigned 2-D histogram directly on the (t, rows) display grid."""
+        rows_i, delta, contrib = self._deposits(self._bank_frames(x, t_count), p)
+        t_idx = jnp.arange(t_count, dtype=jnp.int32)[:, None]
+        col = t_idx + delta
+        mask = (col >= 0) & (col < t_count)
+        contrib = jnp.where(mask, contrib, 0.0)
+        ids = jnp.clip(col, 0, t_count - 1) * self.rows + rows_i
 
         def one(ids1, vals1):
-            out = jax.ops.segment_sum(vals1, ids1,
+            out = jax.ops.segment_sum(vals1.reshape(-1), ids1.reshape(-1),
                                       num_segments=t_count * self.rows)
             return out.reshape(t_count, self.rows)
 
+        lead = x.shape[:-1]
         if lead:
-            out = jax.vmap(one)(ids.reshape((-1, ids.shape[-1])),
-                                vals.reshape((-1, vals.shape[-1])))
+            flat = (-1,) + ids.shape[-2:]
+            out = jax.vmap(one)(ids.reshape(flat), contrib.reshape(flat))
             return out.reshape(lead + (t_count, self.rows))
-        return one(ids, vals)
+        return one(ids, contrib)
 
     # ---------------- full batch path ----------------
     def _batch_vis(self, x, p: PipelineParams, state: PostState, t_count: int):
@@ -198,6 +203,79 @@ class Pipeline:
 
     def num_columns(self, num_samples: int) -> int:
         return num_frames(num_samples, self.n_max, self.hop)
+
+    # ---------------- streaming path (per-hop step, SURVEY.md §3.2) ----------
+    @property
+    def reach(self) -> int:
+        """R: max columns the time-reassignment can move energy (|Δt| ≤ N
+        ⇒ |δ| ≤ round(N/hop)).  Natural mode never moves energy: R = 0."""
+        if self.settings.mode != MODE_ENHANCED:
+            return 0
+        return max(int(np.round(n / self.hop)) for n in self.sizes)
+
+    def _bank_windows(self, window: jnp.ndarray):
+        """Single analysis window (..., N_max) → center-aligned per-bank
+        slices (..., N_b)."""
+        return [window[..., off:off + n]
+                for n, off in zip(self.sizes, self.offsets)]
+
+    def _stream_step(self, carry, window, p: PipelineParams):
+        """One hop: scatter this frame's deposits into the pending ring of
+        P = 2R+1 columns, then emit column t−R (final: no later frame can
+        reach it).  Post-chain state only advances on real emissions, so a
+        stream followed by ``flush`` reproduces the batch scan exactly
+        (SURVEY.md §4.4 streaming ≡ batch)."""
+        t, acc, post = carry                     # acc: (P, ..., rows)
+        R = self.reach
+        P = 2 * R + 1
+        lead = window.shape[:-1]
+
+        if self.settings.mode == MODE_ENHANCED:
+            rows_i, delta, contrib = self._deposits(self._bank_windows(window), p)
+            col_abs = t + delta
+            contrib = jnp.where(col_abs >= 0, contrib, 0.0)
+            slot = jnp.mod(col_abs, P)
+            ids = slot * self.rows + rows_i
+
+            def one(ids1, vals1):
+                return jax.ops.segment_sum(
+                    vals1, ids1, num_segments=P * self.rows
+                ).reshape(P, self.rows)
+
+            if lead:
+                b = int(np.prod(lead))
+                dep = jax.vmap(one)(ids.reshape((b, -1)),
+                                    contrib.reshape((b, -1)))   # (b, P, rows)
+                dep = jnp.moveaxis(dep.reshape(lead + (P, self.rows)), -2, 0)
+            else:
+                dep = one(ids, contrib)
+            acc = acc + dep
+        else:
+            specs = []
+            for win, n in zip(self._bank_windows(window), self.sizes):
+                X = jnp.fft.rfft(win * jnp.asarray(hann(n)), axis=-1)
+                specs.append((X.real**2 + X.imag**2).astype(jnp.float32))
+            tables = MergeTables(self.row_freqs,
+                                 tuple(p.i0), tuple(p.w0), tuple(p.band_rows))
+            col = merge_columns(tuple(specs), tables)       # (..., rows)
+            acc = acc.at[jnp.mod(t, P)].add(col)
+
+        emit_slot = jnp.mod(t - R, P)
+        emit_power = acc[emit_slot]                          # (..., rows)
+        vis, new_post = postprocess_column(emit_power, post, p.post)
+        do_emit = t >= R
+        post = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(do_emit, new, old), new_post, post)
+        vis = jnp.where(do_emit, vis, 0.0)
+        rgba = apply_lut(vis, p.lut)
+        acc = acc.at[emit_slot].set(0.0)                     # slot reused by t+R+1
+        return (t + 1, acc, post), (vis, rgba, t - R)
+
+    def init_stream_carry(self, lead: tuple = ()):
+        P = 2 * self.reach + 1
+        return (jnp.int32(0),
+                jnp.zeros((P,) + lead + (self.rows,), jnp.float32),
+                PostState.init(lead + (self.rows,)))
 
     def process(self, x, params: PipelineParams | None = None,
                 state: PostState | None = None):

@@ -1,0 +1,144 @@
+"""Streaming driver: real-time hop→raster loop (L1→L4 hot path).
+
+This realizes the reference's live visualization loop (SURVEY.md §3.2):
+samples arrive in a host ring buffer, each hop stages one analysis window
+to the device (double-buffered: the *next* window is staged while the
+current step is still in flight — JAX dispatch is asynchronous, so the
+host never blocks on compute), one fused jitted step scatters/merges and
+emits a display column, and only the finished uint8 RGBA column crosses
+back to host [NS: "no host round-trip" for the compute chain].
+
+Pause/resume mirrors the reference's Max-for-Live window sync
+(docs/MAX-FOR-LIVE.md): see ``emspec.integrations.live_state``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import numpy as np
+
+from emspec.config import Settings
+from emspec.io.ring import RingBuffer
+from emspec.pipeline import Pipeline, PipelineParams, get_pipeline
+
+
+class Column(NamedTuple):
+    """One emitted display column (still device-resident until read)."""
+    index: int            # absolute column number (0-based)
+    vis: jax.Array        # (..., rows) float32 in [0, 1]
+    rgba: jax.Array       # (..., rows, 4) uint8
+
+
+class Stream:
+    """Stateful streaming session over one Pipeline.
+
+    >>> stream = Stream(Settings())
+    >>> cols = stream.push(samples)     # list[Column] ready so far
+    >>> cols += stream.flush()          # drain the reassignment pending ring
+    """
+
+    def __init__(self, settings: Settings, params: PipelineParams | None = None,
+                 ring_seconds: float = 4.0):
+        self.pipe: Pipeline = get_pipeline(settings)
+        self.settings = settings
+        s = settings
+        self.channels = s.channels
+        lead = (s.channels,) if s.channels > 1 else ()
+        self._lead = lead
+        self.params = params or self.pipe.params()
+        capacity = max(int(ring_seconds * s.sample_rate),
+                       self.pipe.n_max + 8 * self.pipe.hop)
+        self.ring = RingBuffer(capacity, s.channels)
+        self._carry = self.pipe.init_stream_carry(lead)
+        self._t = 0                 # host mirror of the carry's hop counter
+        self._next_frame = 0        # next hop index to analyze
+        self._paused = False
+        # donate the carry: the pending ring and post state update in place
+        self._step = jax.jit(self.pipe._stream_step, donate_argnums=0)
+
+    # ------------------------------------------------------------------ API
+    @property
+    def reach(self) -> int:
+        return self.pipe.reach
+
+    def pause(self) -> None:
+        self._paused = True
+
+    def resume(self) -> None:
+        self._paused = False
+
+    def push(self, samples: np.ndarray) -> list[Column]:
+        """Feed new samples; returns every display column that became final.
+
+        While paused the ring still fills (so no audio is lost on short
+        pauses) but no analysis runs — matching the reference's minimized
+        behavior [INF from MAX-FOR-LIVE.md window sync]."""
+        self.ring.push(samples)
+        if self._paused:
+            return []
+        return self._drain()
+
+    def flush(self) -> list[Column]:
+        """Emit the R pending columns at stream end (zero-padded hops).
+        After ``flush`` the streamed columns 0..T-1 equal the batch
+        ``Pipeline.process`` output exactly."""
+        out = []
+        zero = np.zeros(self._lead + (self.pipe.n_max,), np.float32)
+        for _ in range(self.pipe.reach):
+            out.extend(self._run_one(zero))
+        return out
+
+    # ------------------------------------------------------------- internals
+    def _drain(self) -> list[Column]:
+        out = []
+        n_max, hop = self.pipe.n_max, self.pipe.hop
+        # stage-ahead loop: device_put + step dispatch are async, so window
+        # t+1 is being copied while step t computes (double-buffered prefetch)
+        while self.ring.total_written >= self._next_frame * hop + n_max:
+            window = self.ring.window_at(self._next_frame * hop, n_max)
+            if self.channels == 1:
+                window = window[0]
+            out.extend(self._run_one(window))
+            self._next_frame += 1
+        return out
+
+    def _run_one(self, window: np.ndarray) -> list[Column]:
+        dev = jax.device_put(window.astype(np.float32, copy=False))
+        self._carry, (vis, rgba, _) = self._step(self._carry, dev, self.params)
+        # host-side counter mirrors the carry so no device sync per hop
+        idx = self._t - self.pipe.reach
+        self._t += 1
+        if idx < 0:
+            return []                                     # warmup, discarded
+        return [Column(index=idx, vis=vis, rgba=rgba)]
+
+    # ------------------------------------------------------- state save/load
+    def state_pytree(self):
+        """Streaming state as a pytree for checkpoint/resume (SURVEY.md §5.4:
+        smoothing/AGC carries + pending ring + hop counter)."""
+        return {"carry": self._carry, "t": self._t, "next_frame": self._next_frame}
+
+    def load_state(self, state) -> None:
+        self._carry = state["carry"]
+        self._t = int(state["t"])
+        self._next_frame = int(state["next_frame"])
+
+
+def stream_signal(x: np.ndarray, settings: Settings,
+                  chunk: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+    """Convenience: push a whole signal through a Stream in small chunks.
+
+    Returns (vis (T, ..., rows), rgba (T, ..., rows, 4)) host arrays —
+    the streaming counterpart of ``Pipeline.process`` for tests/tools."""
+    st = Stream(settings)
+    x = np.asarray(x, np.float32)
+    cols = []
+    for i in range(0, x.shape[-1], chunk):
+        cols.extend(st.push(x[..., i:i + chunk]))
+    cols.extend(st.flush())
+    cols.sort(key=lambda c: c.index)
+    vis = np.stack([np.asarray(c.vis) for c in cols])
+    rgba = np.stack([np.asarray(c.rgba) for c in cols])
+    return vis, rgba

@@ -76,9 +76,8 @@ def reassigned_spectrogram(
             dw = -cross_d.imag / p         # rad/sample
             if abs(dt) > n:
                 continue
-            t_hat = t + dt / hop
+            tb = t + int(np.round(dt / hop))   # relative rounding (see impl)
             f_hat = k + dw * n / (2.0 * np.pi)
-            tb = int(round(t_hat))
             fb = int(round(f_hat))
             if 0 <= tb < t_count and 0 <= fb < k_count:
                 out[tb, fb] += p
@@ -232,7 +231,7 @@ def multires_enhanced(x, sizes, hop, rows, sample_rate, f_min, zoom,
                 f_hat = (k + dw * n / (2 * np.pi)) * (sample_rate / n)
                 if f_hat <= 0:
                     continue
-                col = int(round(t + dt / hop))
+                col = t + int(np.round(dt / hop))   # relative rounding
                 row = int(round((np.log2(max(f_hat, 1e-6)) - a) * bmap))
                 if 0 <= col < t_count and 0 <= row < rows:
                     out[col, row] += p * bw_bins[k] / (n * n)

@@ -1,0 +1,191 @@
+"""Streaming tests: ring buffer, streaming ≡ batch equivalence
+(SURVEY.md §4.4 — the test that catches carry/prefetch-ordering bugs),
+pause/resume, state save/restore, waterfall, live_state contract."""
+
+import json
+
+import numpy as np
+import pytest
+
+from emspec.config import Settings
+from emspec.io.ring import RingBuffer
+from emspec.io import synth
+from emspec.pipeline import Pipeline
+from emspec.stream import Stream, stream_signal
+from emspec.render.waterfall import Waterfall
+from emspec.integrations import live_state
+
+SR = 48_000
+
+
+def _settings(**kw):
+    kw.setdefault("multires", True)
+    kw.setdefault("multires_sizes", (2048, 1024, 512))
+    kw.setdefault("raster_height", 128)
+    kw.setdefault("hop", 256)
+    kw.setdefault("smoothing", 0.5)     # make statefulness matter
+    kw.setdefault("auto_gain", True)
+    return Settings(**kw)
+
+
+# ------------------------------------------------------------- ring buffer
+def test_ring_push_and_window():
+    r = RingBuffer(100, 1)
+    r.push(np.arange(30, dtype=np.float32))
+    r.push(np.arange(30, 60, dtype=np.float32))
+    assert r.total_written == 60
+    np.testing.assert_array_equal(r.window_at(10, 20)[0], np.arange(10, 30))
+    np.testing.assert_array_equal(r.latest(5)[0], np.arange(55, 60))
+
+
+def test_ring_wraparound_and_overrun():
+    r = RingBuffer(64, 1)
+    r.push(np.arange(100, dtype=np.float32))
+    np.testing.assert_array_equal(r.window_at(90, 10)[0], np.arange(90, 100))
+    with pytest.raises(ValueError):
+        r.window_at(10, 10)     # overwritten
+    with pytest.raises(ValueError):
+        r.window_at(95, 10)     # future
+
+
+def test_ring_multichannel():
+    r = RingBuffer(50, 2)
+    r.push(np.stack([np.arange(10.0), np.arange(10.0) * 2]))
+    w = r.latest(4)
+    assert w.shape == (2, 4)
+    np.testing.assert_array_equal(w[1], [12, 14, 16, 18])
+
+
+def test_ring_giant_push_keeps_newest():
+    r = RingBuffer(16, 1)
+    r.push(np.arange(100, dtype=np.float32))
+    np.testing.assert_array_equal(r.latest(16)[0], np.arange(84, 100))
+
+
+# ----------------------------------------------------- streaming ≡ batch
+@pytest.mark.parametrize("mode", ["natural", "enhanced"])
+def test_streaming_equals_batch(mode):
+    s = _settings(mode=mode)
+    x = (synth.chirp(100.0, 8000.0, 0.25, SR)
+         + synth.multitone([330.0], 0.25, amplitude=0.3))
+    pipe = Pipeline(s)
+    vis_b, rgba_b, _ = pipe.process(x)
+    vis_s, rgba_s = stream_signal(x, s, chunk=777)  # awkward chunk on purpose
+    t = pipe.num_columns(len(x))
+    assert vis_s.shape[0] == t
+    np.testing.assert_allclose(vis_s, np.asarray(vis_b), atol=1e-6)
+    np.testing.assert_array_equal(rgba_s, np.asarray(rgba_b))
+
+
+def test_streaming_equals_batch_multichannel():
+    s = _settings(mode="enhanced", channels=2, smoothing=0.3)
+    x = np.stack([synth.tone(440.0, 0.15, SR), synth.chirp(200, 4000, 0.15, SR)])
+    pipe = Pipeline(s)
+    vis_b, _, _ = pipe.process(x)
+    vis_s, _ = stream_signal(x, s, chunk=500)
+    np.testing.assert_allclose(vis_s, np.asarray(vis_b), atol=1e-6)
+
+
+def test_stream_incremental_chunks_equal_one_push():
+    s = _settings(mode="enhanced", smoothing=0.0)
+    x = synth.noise(0.2, seed=9)
+    a = stream_signal(x, s, chunk=128)[0]
+    b = stream_signal(x, s, chunk=len(x))[0]
+    np.testing.assert_allclose(a, b, atol=0)
+
+
+# --------------------------------------------------------- pause / resume
+def test_pause_resume():
+    s = _settings(mode="natural")
+    st = Stream(s)
+    x = synth.tone(440.0, 0.2, SR)
+    st.pause()
+    cols = st.push(x[:6000])
+    assert cols == []                      # paused: no analysis
+    st.resume()
+    cols = st.push(x[6000:])               # ring kept filling while paused
+    assert len(cols) > 0
+    indices = [c.index for c in cols]
+    assert indices == sorted(indices)
+    assert indices[0] == 0                 # nothing was lost
+
+
+# ------------------------------------------------------ state save/restore
+def test_stream_state_roundtrip():
+    s = _settings(mode="enhanced", smoothing=0.6)
+    x = synth.chirp(100.0, 6000.0, 0.3, SR)
+    half = len(x) // 2
+
+    st1 = Stream(s)
+    cols_a = st1.push(x[:half])
+    saved = st1.state_pytree()
+
+    st2 = Stream(s)
+    st2.load_state(saved)
+    st2.ring = st1.ring                     # ring is host state, shared here
+    cols_b = st2.push(x[half:]) + st2.flush()
+
+    ref_vis, _ = stream_signal(x, s)
+    got = {c.index: np.asarray(c.vis) for c in cols_a + cols_b}
+    assert sorted(got) == list(range(ref_vis.shape[0]))
+    for i in range(ref_vis.shape[0]):
+        np.testing.assert_allclose(got[i], ref_vis[i], atol=1e-6)
+
+
+# ---------------------------------------------------------------- waterfall
+def test_waterfall_scrolls():
+    import jax.numpy as jnp
+    wf = Waterfall(width=8, rows=4, scroll_speed=1.0)
+    for i in range(10):
+        col = jnp.full((4, 4), i + 1, jnp.uint8)
+        wf.add_column(col)
+    img = wf.image()
+    assert img.shape == (4, 8, 4)
+    # last 8 of 10 columns, oldest left
+    np.testing.assert_array_equal(img[0, :, 0], np.arange(3, 11))
+
+
+def test_waterfall_fractional_speed():
+    import jax.numpy as jnp
+    wf = Waterfall(width=4, rows=2, scroll_speed=0.5)
+    for i in range(8):
+        wf.add_column(jnp.full((2, 4), i + 1, jnp.uint8))
+    img = wf.image()
+    # speed 0.5: paints on every 2nd hop → columns 2,4,6,8
+    np.testing.assert_array_equal(img[0, :, 0], [2, 4, 6, 8])
+
+
+# --------------------------------------------------------------- live_state
+def test_live_state_contract(tmp_path):
+    p = tmp_path / "live_state.json"
+    assert live_state.read_state(p) == "restored"   # auto-created
+    assert p.exists()
+
+    events = []
+    w = live_state.LiveStateWatcher(
+        p, on_minimized=lambda: events.append("min"),
+        on_restored=lambda: events.append("res"))
+    live_state.write_state(p, "minimized")
+    assert w.poll() == "minimized"
+    live_state.write_state(p, "restored")
+    w.poll()
+    assert events == ["min", "res"]
+
+    p.write_text("garbage{{{")                       # corrupt → fallback
+    assert live_state.read_state(p) == "restored"
+    with pytest.raises(ValueError):
+        live_state.write_state(p, "fullscreen")
+
+
+def test_live_state_pauses_stream(tmp_path):
+    p = tmp_path / "live_state.json"
+    s = _settings(mode="natural")
+    st = Stream(s)
+    w = live_state.LiveStateWatcher(p, on_minimized=st.pause,
+                                    on_restored=st.resume)
+    live_state.write_state(p, "minimized")
+    w.poll()
+    assert st.push(synth.tone(440.0, 0.1, SR)) == []
+    live_state.write_state(p, "restored")
+    w.poll()
+    assert len(st.push(synth.tone(440.0, 0.1, SR))) > 0
