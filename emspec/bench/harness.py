@@ -1,0 +1,153 @@
+"""Performance harness (SURVEY.md §6): the BASELINE.json metrics.
+
+Primary metric: reassigned-spectrogram frames/sec/chip at 8192-pt FFT.
+Also measured: every BASELINE.json config (0-4), p50/p99 per-hop
+audio-to-raster latency on the streaming path, and the 16-channel 96 kHz
+32768-pt stress configuration.
+
+The reference publishes no numbers (distribution-only repo —
+BASELINE.md); ``vs_baseline`` therefore reports against the north-star
+target of 60 display columns/sec sustained [NS: "sustain 60 fps"].
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+TARGET_FPS = 60.0
+
+
+def _signal(seconds: float, sample_rate: int, channels: int = 1) -> np.ndarray:
+    t = np.arange(int(seconds * sample_rate), dtype=np.float64) / sample_rate
+    x = 0.4 * np.sin(2 * np.pi * (100.0 * t + 0.5 * 2000.0 * t * t))
+    x += 0.2 * np.sin(2 * np.pi * 440.0 * t)
+    rng = np.random.default_rng(0)
+    x += 0.01 * rng.standard_normal(len(t))
+    if channels == 1:
+        return x.astype(np.float32)
+    return np.stack([np.roll(x, 31 * c) for c in range(channels)]).astype(np.float32)
+
+
+def _throughput(settings, seconds: float, iters: int) -> dict:
+    """Batch-path columns/sec: steady-state timing of the fused jit step."""
+    import jax
+    from emspec.pipeline import Pipeline
+    from emspec.post.chain import PostState
+
+    pipe = Pipeline(settings)
+    x = _signal(seconds, settings.sample_rate, settings.channels)
+    if settings.channels == 1 and x.ndim > 1:
+        x = x[0]
+    xd = jax.device_put(x)
+    t_count = pipe.num_columns(x.shape[-1])
+    p = pipe.params()
+    lead = (settings.channels,) if settings.channels > 1 else ()
+    st = PostState.init(lead + (pipe.rows,))
+
+    out = pipe._batch_jit(xd, p, st, t_count)          # compile
+    jax.block_until_ready(out)
+    # chained-state timing: the PostState output feeds the next call so no
+    # two executions are identical and the remote runtime can't dedupe or
+    # overlap them dishonestly
+    st_c = st
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        vis, rgba, st_c = pipe._batch_jit(xd, p, st_c, t_count)
+    jax.block_until_ready((vis, rgba, st_c))
+    dt = time.perf_counter() - t0
+    cols_per_sec = t_count * iters / dt
+    return {
+        "columns_per_sec": cols_per_sec,
+        "frames_per_sec_total": cols_per_sec * max(settings.channels, 1),
+        "t_count": t_count,
+        "iters": iters,
+        "wall_s": dt,
+        "realtime_factor": cols_per_sec * pipe.hop / settings.sample_rate,
+    }
+
+
+def _latency(settings, hops: int = 200) -> dict:
+    """Streaming-path per-hop audio-to-raster latency (window staged to HBM
+    → fused step → block on the emitted RGBA column)."""
+    import jax
+    from emspec.stream import Stream
+
+    st = Stream(settings)
+    n_max, hop = st.pipe.n_max, st.pipe.hop
+    x = _signal((n_max + (hops + st.reach + 4) * hop) / settings.sample_rate
+                + 0.1, settings.sample_rate, settings.channels)
+    st.ring.push(x)
+    # warmup (compile + fill the pending ring)
+    for _ in range(st.reach + 3):
+        window = st.ring.window_at(st._next_frame * hop, n_max)
+        if settings.channels == 1:
+            window = window[0]
+        cols = st._run_one(window)
+        st._next_frame += 1
+        if cols:
+            jax.block_until_ready(cols[0].rgba)
+    times = []
+    for _ in range(hops):
+        window = st.ring.window_at(st._next_frame * hop, n_max)
+        if settings.channels == 1:
+            window = window[0]
+        t0 = time.perf_counter()
+        cols = st._run_one(window)
+        jax.block_until_ready(cols[0].rgba)
+        times.append(time.perf_counter() - t0)
+        st._next_frame += 1
+    times = np.asarray(times) * 1e3
+    return {"p50_ms": float(np.percentile(times, 50)),
+            "p99_ms": float(np.percentile(times, 99)),
+            "mean_ms": float(times.mean()),
+            "hops": hops}
+
+
+def primary_metric(quick: bool = False) -> dict:
+    """The headline: reassigned frames/sec/chip at 8192-pt FFT."""
+    from emspec.config import Settings
+    s = Settings(mode="enhanced", multires=False, fft_size=8192)
+    r = _throughput(s, seconds=2.0 if quick else 4.0, iters=3 if quick else 10)
+    return {
+        "metric": "reassigned_spectrogram_frames_per_sec_8192pt",
+        "value": round(r["columns_per_sec"], 1),
+        "unit": "frames/s/chip",
+        # no published reference numbers exist (BASELINE.md); compare to the
+        # 60 fps sustained-display north-star target
+        "vs_baseline": round(r["columns_per_sec"] / TARGET_FPS, 2),
+    }
+
+
+def run_benchmarks(quick: bool = False) -> dict:
+    """Full report over the BASELINE.json configs."""
+    import jax
+    from emspec.config import Settings
+
+    secs = 1.0 if quick else 4.0
+    iters = 2 if quick else 8
+    hops = 50 if quick else 200
+    report: dict = {
+        "device": str(jax.devices()[0]),
+        "primary": primary_metric(quick),
+        "configs": {},
+    }
+    cfgs = {
+        "0_stft_2048_natural": Settings(
+            mode="natural", multires=False, fft_size=2048),
+        "1_reassigned_2048": Settings(
+            mode="enhanced", multires=False, fft_size=2048),
+        "2_multires_log_merge": Settings(mode="enhanced", multires=True),
+        "4_stress_16ch_96k_32768": Settings(
+            mode="enhanced", multires=False, fft_size=32768,
+            sample_rate=96_000, channels=16),
+    }
+    for name, s in cfgs.items():
+        report["configs"][name] = _throughput(s, secs, iters)
+    # config 3 is the streaming path: measured as latency
+    report["configs"]["3_streaming_latency_default"] = _latency(
+        Settings(mode="enhanced", multires=True), hops)
+    report["configs"]["3_streaming_latency_8192"] = _latency(
+        Settings(mode="enhanced", multires=False, fft_size=8192), hops)
+    return report

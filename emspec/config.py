@@ -70,9 +70,16 @@ class Settings:
     # -------- toggles --------
     auto_gain: bool = True              # "Auto Gain" button = AGC enabled
     on_top: bool = False                # window always-on-top (shell flag; no-op here)
+    agc_global: bool = False            # couple AGC across channels (one brightness
+                                        # for the whole display; cross-chip collective
+                                        # when channels are sharded) [INF]
 
     # -------- analysis detail knobs (rebuild-specific, documented [INF]) --------
     freq_min: float = 20.0              # bottom of the log-frequency axis
+    scatter: str = "auto"               # reassignment scatter backend:
+                                        # "auto" (pallas on TPU), "pallas",
+                                        # or "segment_sum" (SURVEY §7 hard
+                                        # part 1: keep both, parity-tested)
     crossover_low: float = 200.0        # multires band edge: 8192-bank below
     crossover_high: float = 2000.0      # multires band edge: 512-bank above
     low_end_cutoff: float = 200.0       # Low-End-Boost ramp corner frequency
@@ -89,6 +96,8 @@ class Settings:
             raise ValueError("channels must be >= 1")
         if not (0.0 <= self.smoothing < 1.0):
             raise ValueError("smoothing must be in [0, 1)")
+        if self.scatter not in ("auto", "pallas", "segment_sum"):
+            raise ValueError(f"unknown scatter backend: {self.scatter!r}")
 
     # ---- derived quantities ----
     @property
@@ -127,7 +136,8 @@ class Settings:
 
 STRUCTURAL_FIELDS = frozenset({
     "fft_size", "sample_rate", "channels", "mode", "multires",
-    "multires_sizes", "raster_height", "raster_width", "hop",
+    "multires_sizes", "raster_height", "raster_width", "hop", "agc_global",
+    "scatter",
 })
 
 

@@ -82,6 +82,18 @@ class Pipeline:
         self.row_freqs = self.tables.row_freqs
         self._batch_jit = jax.jit(self._batch_vis, static_argnames=("t_count",))
 
+    @property
+    def use_pallas_scatter(self) -> bool:
+        s = self.settings.scatter
+        if s == "auto":
+            # Measured on TPU v5e: the one-hot-matmul kernel wins while the
+            # relative scatter space P·rows stays MXU-sized (single-bank and
+            # stress configs, ~+11%/+29%); at P=129 (multires small-hop) the
+            # histogram flops outgrow XLA's scatter lowering.
+            return (jax.default_backend() == "tpu"
+                    and (2 * self.reach + 1) * self.rows <= 16384)
+        return s == "pallas"
+
     # ---------------- params ----------------
     def params(self, settings: Settings | None = None) -> PipelineParams:
         """Build the continuous-param pytree (cheap; call on slider moves)."""
@@ -168,6 +180,13 @@ class Pipeline:
     def _enhanced_power(self, x, t_count, p: PipelineParams):
         """Reassigned 2-D histogram directly on the (t, rows) display grid."""
         rows_i, delta, contrib = self._deposits(self._bank_frames(x, t_count), p)
+        if self.use_pallas_scatter:
+            return self._scatter_pallas(rows_i, delta, contrib, t_count)
+        return self._scatter_segment_sum(rows_i, delta, contrib, t_count, x.shape[:-1])
+
+    def _scatter_segment_sum(self, rows_i, delta, contrib, t_count, lead):
+        """Correctness-baseline scatter: one flattened segment_sum over the
+        absolute (t, rows) grid."""
         t_idx = jnp.arange(t_count, dtype=jnp.int32)[:, None]
         col = t_idx + delta
         mask = (col >= 0) & (col < t_count)
@@ -179,12 +198,35 @@ class Pipeline:
                                       num_segments=t_count * self.rows)
             return out.reshape(t_count, self.rows)
 
-        lead = x.shape[:-1]
         if lead:
             flat = (-1,) + ids.shape[-2:]
             out = jax.vmap(one)(ids.reshape(flat), contrib.reshape(flat))
             return out.reshape(lead + (t_count, self.rows))
         return one(ids, contrib)
+
+    def _scatter_pallas(self, rows_i, delta, contrib, t_count):
+        """TPU fast path: per-frame *relative* histograms on the MXU
+        (one-hot matmul kernel, emspec.dsp.pallas.scatter) + a static
+        shift-add over the 2R+1 possible column offsets.  No
+        data-dependent scatter remains anywhere in the hot path."""
+        from emspec.dsp.pallas.scatter import histogram_matmul
+
+        R = self.reach
+        P = 2 * R + 1
+        # out-of-range ids fall outside [0, P*rows) and contribute nothing
+        ids_rel = (delta + R) * self.rows + rows_i
+        hist = histogram_matmul(ids_rel, contrib, P * self.rows)
+        hist = hist.reshape(hist.shape[:-1] + (P, self.rows))  # (..., t, P, rows)
+        hist = jnp.moveaxis(hist, -3, 0)                       # (t, ..., P, rows)
+        out = jnp.zeros((t_count,) + hist.shape[1:-2] + (self.rows,), jnp.float32)
+        for j in range(P):                                     # static offsets
+            dlt = j - R
+            seg = hist[..., j, :]                              # (t, ..., rows)
+            if dlt >= 0:
+                out = out.at[dlt:].add(seg[:t_count - dlt] if dlt else seg)
+            else:
+                out = out.at[:t_count + dlt].add(seg[-dlt:])
+        return jnp.moveaxis(out, 0, -2)                        # (..., t, rows)
 
     # ---------------- full batch path ----------------
     def _batch_vis(self, x, p: PipelineParams, state: PostState, t_count: int):
@@ -194,7 +236,8 @@ class Pipeline:
         cols_first = jnp.moveaxis(power, -2, 0)              # (t, ..., rows)
 
         def step(st, col):
-            out, st = postprocess_column(col, st, p.post)
+            out, st = postprocess_column(col, st, p.post,
+                                          self.settings.agc_global)
             return st, out
 
         state, vis = jax.lax.scan(step, state, cols_first)
@@ -232,23 +275,33 @@ class Pipeline:
 
         if self.settings.mode == MODE_ENHANCED:
             rows_i, delta, contrib = self._deposits(self._bank_windows(window), p)
-            col_abs = t + delta
-            contrib = jnp.where(col_abs >= 0, contrib, 0.0)
-            slot = jnp.mod(col_abs, P)
-            ids = slot * self.rows + rows_i
-
-            def one(ids1, vals1):
-                return jax.ops.segment_sum(
-                    vals1, ids1, num_segments=P * self.rows
-                ).reshape(P, self.rows)
-
-            if lead:
-                b = int(np.prod(lead))
-                dep = jax.vmap(one)(ids.reshape((b, -1)),
-                                    contrib.reshape((b, -1)))   # (b, P, rows)
-                dep = jnp.moveaxis(dep.reshape(lead + (P, self.rows)), -2, 0)
+            R_ = R
+            contrib = jnp.where(t + delta >= 0, contrib, 0.0)
+            if self.use_pallas_scatter:
+                # relative histogram, then rotate into the pending ring:
+                # acc slot of offset δ is (t+δ) mod P = roll by (t−R) mod P
+                from emspec.dsp.pallas.scatter import histogram_matmul
+                ids_rel = (delta + R_) * self.rows + rows_i
+                hist = histogram_matmul(ids_rel, contrib, P * self.rows)
+                hist = hist.reshape(hist.shape[:-1] + (P, self.rows))
+                dep = jnp.moveaxis(hist, -2, 0)                 # (P, ..., rows)
+                dep = jnp.roll(dep, t - R_, axis=0)
             else:
-                dep = one(ids, contrib)
+                slot = jnp.mod(t + delta, P)
+                ids = slot * self.rows + rows_i
+
+                def one(ids1, vals1):
+                    return jax.ops.segment_sum(
+                        vals1, ids1, num_segments=P * self.rows
+                    ).reshape(P, self.rows)
+
+                if lead:
+                    b = int(np.prod(lead))
+                    dep = jax.vmap(one)(ids.reshape((b, -1)),
+                                        contrib.reshape((b, -1)))   # (b, P, rows)
+                    dep = jnp.moveaxis(dep.reshape(lead + (P, self.rows)), -2, 0)
+                else:
+                    dep = one(ids, contrib)
             acc = acc + dep
         else:
             specs = []
@@ -262,7 +315,8 @@ class Pipeline:
 
         emit_slot = jnp.mod(t - R, P)
         emit_power = acc[emit_slot]                          # (..., rows)
-        vis, new_post = postprocess_column(emit_power, post, p.post)
+        vis, new_post = postprocess_column(emit_power, post, p.post,
+                                           self.settings.agc_global)
         do_emit = t >= R
         post = jax.tree_util.tree_map(
             lambda new, old: jnp.where(do_emit, new, old), new_post, post)

@@ -98,18 +98,27 @@ def low_end_ramp(freqs_hz: np.ndarray, boost: float, cutoff_hz: float) -> np.nda
 
 
 def postprocess_column(
-    power: jnp.ndarray, state: PostState, p: PostParams
+    power: jnp.ndarray, state: PostState, p: PostParams,
+    global_agc: bool = False,
 ) -> tuple[jnp.ndarray, PostState]:
     """One hop: linear power column (..., rows) → display values + new state.
 
     This is the fused per-column path used by the streaming driver; the
     batch path ``lax.scan``s it over time (streaming ≡ batch by
     construction, SURVEY.md §4.4).
+
+    ``global_agc=True`` couples the AGC reference across all leading
+    (channel) axes — one brightness for the whole multichannel display.
+    Under a channel-sharded mesh this max is the pipeline's one genuine
+    cross-chip collective (GSPMD inserts the all-reduce over ICI;
+    SURVEY.md §5.8).
     """
     boosted = power * p.low_end_ramp * p.gain                      # stages 1-2
     v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # stage 3
 
     peak_db = jnp.max(v_db, axis=-1)                               # (...,)
+    if global_agc:
+        peak_db = jnp.max(peak_db) * jnp.ones_like(peak_db)
     new_ref = AGC_DECAY * state.agc_ref + (1.0 - AGC_DECAY) * peak_db
     agc_offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - new_ref)
     v_db = v_db + agc_offset[..., None]                            # stage 4

@@ -1,0 +1,124 @@
+"""Pallas kernel parity tests (run in interpreter mode on the CPU suite;
+the same kernels compile natively on TPU — SURVEY.md §7 hard part 1:
+'keep both; parity-test one against the other')."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from emspec.dsp.pallas.scatter import histogram_matmul, histogram_reference
+from emspec.dsp.pallas.window import windowed_frames
+from emspec.dsp.windows import window_triple
+
+
+def _interp():
+    return pltpu.force_tpu_interpret_mode()
+
+
+# ------------------------------------------------------------- histogram
+def test_histogram_matches_segment_sum():
+    rng = np.random.default_rng(0)
+    m, s = 1000, 300
+    ids = rng.integers(0, s, m).astype(np.int32)
+    vals = rng.uniform(0, 1, m).astype(np.float32)
+    want = np.asarray(histogram_reference(jnp.asarray(ids), jnp.asarray(vals), s))
+    with _interp():
+        got = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
+                                          m_chunk=256, s_tile=128))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_histogram_negative_ids_dropped():
+    ids = jnp.asarray([0, -1, 2, -1, 2], jnp.int32)
+    vals = jnp.asarray([1.0, 5.0, 2.0, 7.0, 3.0], jnp.float32)
+    with _interp():
+        got = np.asarray(histogram_matmul(ids, vals, 4, m_chunk=128, s_tile=128))
+    np.testing.assert_allclose(got, [1.0, 0.0, 5.0, 0.0])
+
+
+def test_histogram_batched():
+    rng = np.random.default_rng(1)
+    b, m, s = 3, 517, 257           # awkward sizes exercise padding
+    ids = rng.integers(-1, s, (b, m)).astype(np.int32)
+    vals = rng.uniform(0, 1, (b, m)).astype(np.float32)
+    want = np.asarray(histogram_reference(jnp.asarray(ids), jnp.asarray(vals), s))
+    with _interp():
+        got = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
+                                          m_chunk=256, s_tile=128))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_histogram_empty_bins_and_total():
+    rng = np.random.default_rng(2)
+    m, s = 400, 100
+    ids = rng.integers(0, 50, m).astype(np.int32)    # only lower half used
+    vals = np.ones(m, np.float32)
+    with _interp():
+        got = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
+                                          m_chunk=128, s_tile=128))
+    assert got[50:].sum() == 0.0
+    assert got.sum() == pytest.approx(m)
+
+
+# ----------------------------------------------- pipeline backend parity
+def test_pipeline_batch_scatter_backends_agree():
+    from emspec.config import Settings
+    from emspec.pipeline import Pipeline
+    from emspec.io import synth
+
+    x = synth.chirp(100.0, 8000.0, 0.15) + synth.tone(440.0, 0.15, amplitude=0.3)
+    base = dict(mode="enhanced", multires=True, multires_sizes=(1024, 512),
+                raster_height=128, hop=256, auto_gain=False)
+    ref_pipe = Pipeline(Settings(scatter="segment_sum", **base))
+    want, _, _ = ref_pipe.process(x)
+    with _interp():
+        pal_pipe = Pipeline(Settings(scatter="pallas", **base))
+        got, _, _ = pal_pipe.process(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pipeline_stream_scatter_backends_agree():
+    from emspec.config import Settings
+    from emspec.pipeline import Pipeline
+    from emspec.post.chain import PostState
+    from emspec.io import synth
+
+    base = dict(mode="enhanced", multires=True, multires_sizes=(1024, 512),
+                raster_height=128, hop=256, auto_gain=False)
+    x = synth.chirp(200.0, 4000.0, 0.08)
+
+    def run(scatter):
+        pipe = Pipeline(Settings(scatter=scatter, **base))
+        carry = pipe.init_stream_carry(())
+        p = pipe.params()
+        outs = []
+        n_hops = (len(x) - pipe.n_max) // pipe.hop + 1
+        for t in range(n_hops):
+            w = jnp.asarray(x[t * pipe.hop: t * pipe.hop + pipe.n_max])
+            carry, (vis, _, _) = pipe._stream_step(carry, w, p)
+            if t >= pipe.reach:
+                outs.append(np.asarray(vis))
+        return np.stack(outs)
+
+    want = run("segment_sum")
+    with _interp():
+        got = run("pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# ------------------------------------------------------------- windowing
+@pytest.mark.parametrize("shape", [(7, 512), (2, 5, 512), (90, 2048)])
+def test_windowed_frames_parity(shape):
+    rng = np.random.default_rng(3)
+    frames = rng.standard_normal(shape).astype(np.float32)
+    n = shape[-1]
+    w3 = window_triple(n)
+    want = frames[None] * w3.reshape((3,) + (1,) * (len(shape) - 1) + (n,))
+    with _interp():
+        got = np.asarray(windowed_frames(jnp.asarray(frames),
+                                         t_tile=16, n_tile=512))
+    assert got.shape == (3,) + shape
+    np.testing.assert_allclose(got, want, atol=0)   # identical f32 multiply
