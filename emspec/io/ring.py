@@ -79,3 +79,17 @@ class RingBuffer:
     def latest(self, n: int) -> np.ndarray:
         """(channels, n) copy of the most recent n samples."""
         return self.window_at(max(self.total_written - n, 0), min(n, self.total_written))
+
+
+def make_ring(capacity: int, channels: int = 1, prefer_native: bool = True):
+    """Ring factory: the lock-free C++ SPSC ring when the native library is
+    available (real capture callbacks need the wait-free producer), else
+    the numpy implementation — identical contract either way."""
+    if prefer_native:
+        try:
+            from emspec.native import lib as native
+            if native.available():
+                return native.NativeRingBuffer(capacity, channels)
+        except Exception:
+            pass
+    return RingBuffer(capacity, channels)

@@ -16,7 +16,21 @@ import numpy as np
 
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
-    """Read a WAV file → (samples float32 (channels, n), sample_rate)."""
+    """Read a WAV file → (samples float32 (channels, n), sample_rate).
+
+    Uses the native C++ decoder when available (proper RIFF chunk walking
+    + format-tag handling, emspec/native); falls back to stdlib ``wave``.
+    """
+    try:
+        from emspec.native import lib as native
+        if native.available():
+            return native.read_wav(path)
+    except Exception:
+        pass  # any native hiccup falls through to the pure-Python path
+    return _read_wav_py(path)
+
+
+def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
     with wave.open(str(path), "rb") as w:
         rate = w.getframerate()
         nch = w.getnchannels()

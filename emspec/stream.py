@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from emspec.config import Settings
-from emspec.io.ring import RingBuffer
+from emspec.io.ring import make_ring
 from emspec.pipeline import Pipeline, PipelineParams, get_pipeline
 
 
@@ -40,7 +40,7 @@ class Stream:
     """
 
     def __init__(self, settings: Settings, params: PipelineParams | None = None,
-                 ring_seconds: float = 4.0):
+                 ring_seconds: float = 4.0, native_ring: bool = True):
         self.pipe: Pipeline = get_pipeline(settings)
         self.settings = settings
         s = settings
@@ -50,7 +50,8 @@ class Stream:
         self.params = params or self.pipe.params()
         capacity = max(int(ring_seconds * s.sample_rate),
                        self.pipe.n_max + 8 * self.pipe.hop)
-        self.ring = RingBuffer(capacity, s.channels)
+        self.ring = make_ring(capacity, s.channels, prefer_native=native_ring)
+        self.dropped_frames = 0     # overrun accounting (SURVEY.md §5.3)
         self._carry = self.pipe.init_stream_carry(lead)
         self._t = 0                 # host mirror of the carry's hop counter
         self._next_frame = 0        # next hop index to analyze
@@ -97,7 +98,16 @@ class Stream:
         # stage-ahead loop: device_put + step dispatch are async, so window
         # t+1 is being copied while step t computes (double-buffered prefetch)
         while self.ring.total_written >= self._next_frame * hop + n_max:
-            window = self.ring.window_at(self._next_frame * hop, n_max)
+            try:
+                window = self.ring.window_at(self._next_frame * hop, n_max)
+            except ValueError:
+                # overrun: the producer lapped us. Skip to the newest
+                # fully-available frame and keep going — degraded display
+                # beats a dead stream (failure contract, SURVEY.md §5.3).
+                newest = (self.ring.total_written - n_max) // hop
+                self.dropped_frames += max(newest - self._next_frame, 0)
+                self._next_frame = max(newest, self._next_frame + 1)
+                continue
             if self.channels == 1:
                 window = window[0]
             out.extend(self._run_one(window))

@@ -110,6 +110,19 @@ def test_pause_resume():
     assert indices[0] == 0                 # nothing was lost
 
 
+def test_overrun_recovery():
+    """Producer laps the ring while paused → stream skips ahead instead of
+    dying, and counts the dropped frames (SURVEY.md §5.3)."""
+    s = _settings(mode="natural")
+    st = Stream(s, ring_seconds=0.1)      # tiny ring: 4800 samples
+    st.pause()
+    st.push(synth.tone(440.0, 1.0, SR))   # 48000 samples >> ring
+    st.resume()
+    cols = st.push(synth.tone(440.0, 0.05, SR))
+    assert len(cols) > 0
+    assert st.dropped_frames > 0
+
+
 # ------------------------------------------------------ state save/restore
 def test_stream_state_roundtrip():
     s = _settings(mode="enhanced", smoothing=0.6)
