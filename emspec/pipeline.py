@@ -81,6 +81,9 @@ class Pipeline:
             s.crossover_low, s.crossover_high)
         self.row_freqs = self.tables.row_freqs
         self._batch_jit = jax.jit(self._batch_vis, static_argnames=("t_count",))
+        # the canonical streaming executable: shared by Stream and prewarm()
+        # so warming actually hits the cache the live stream will use
+        self._stream_jit = jax.jit(self._stream_step, donate_argnums=0)
 
     @property
     def use_pallas_scatter(self) -> bool:
@@ -331,6 +334,25 @@ class Pipeline:
                 jnp.zeros((P,) + lead + (self.rows,), jnp.float32),
                 PostState.init(lead + (self.rows,)))
 
+    # ---------------- hover readout (SURVEY.md §3.5) ----------------
+    def frequency_at_row(self, row: int) -> float:
+        """Display row (0 = bottom/bass) → center frequency in Hz —
+        the inverse of the log-frequency axis, respecting Freq Scale."""
+        return float(self.row_freqs[row])
+
+    def row_of_frequency(self, freq_hz: float) -> int:
+        """Nearest display row for a frequency (hover inverse map)."""
+        f = self.row_freqs
+        r = (np.log2(max(freq_hz, 1e-9)) - np.log2(f[0])) \
+            / (np.log2(f[-1]) - np.log2(f[0])) * (self.rows - 1)
+        return int(np.clip(round(r), 0, self.rows - 1))
+
+    def describe_row(self, row: int) -> str:
+        """The Shift+hover tooltip text for a display row
+        (reference: README.md:39 'note and frequency information')."""
+        from emspec.utils.notes import describe_frequency
+        return describe_frequency(self.frequency_at_row(row))
+
     def process(self, x, params: PipelineParams | None = None,
                 state: PostState | None = None):
         """Whole-signal batch processing.
@@ -359,6 +381,41 @@ def get_pipeline(settings: Settings) -> Pipeline:
     FFT-size set amounts to calling this for each size (SURVEY.md §7 hard
     part 3)."""
     return _cached_pipeline(settings)
+
+
+def prewarm(base: Settings, sizes: tuple | None = None,
+            background: bool = True):
+    """Pre-compile the streaming step for every FFT size in the dropdown so
+    a size change never stalls the live stream (SURVEY.md §7 hard part 3;
+    §3.3: structural changes re-specialize).
+
+    Warms the single-bank variant for each ``size`` plus the multires
+    variant once.  Returns a ``concurrent.futures.Future`` (or None when
+    ``background=False`` and warming ran inline).
+    """
+    from emspec.config import FFT_SIZES
+
+    sizes = sizes or FFT_SIZES
+
+    def _warm():
+        variants = [base.replace(multires=False, fft_size=n) for n in sizes]
+        if base.multires:
+            variants.append(base)
+        for s in variants:
+            pipe = get_pipeline(s)
+            lead = (s.channels,) if s.channels > 1 else ()
+            carry = pipe.init_stream_carry(lead)
+            window = jnp.zeros(lead + (pipe.n_max,), jnp.float32)
+            jax.block_until_ready(pipe._stream_jit(carry, window, pipe.params()))
+
+    if background:
+        import concurrent.futures
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(_warm)
+        pool.shutdown(wait=False)
+        return fut
+    _warm()
+    return None
 
 
 def render_image_multires(x, settings: Settings) -> np.ndarray:

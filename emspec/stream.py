@@ -56,8 +56,9 @@ class Stream:
         self._t = 0                 # host mirror of the carry's hop counter
         self._next_frame = 0        # next hop index to analyze
         self._paused = False
-        # donate the carry: the pending ring and post state update in place
-        self._step = jax.jit(self.pipe._stream_step, donate_argnums=0)
+        # the pipeline's canonical donated-carry executable (shared with
+        # prewarm(), so a pre-warmed size switch never stalls)
+        self._step = self.pipe._stream_jit
 
     # ------------------------------------------------------------------ API
     @property

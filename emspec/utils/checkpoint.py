@@ -1,0 +1,76 @@
+"""Checkpoint / resume (SURVEY.md §5.4).
+
+The reference's persistence is settings+presets JSON (its "checkpointing");
+the rebuild additionally checkpoints *streaming state* — smoothing/AGC
+carries, the reassignment pending ring, hop counters, and the host ring
+contents — so a live session can be saved and resumed mid-stream
+bit-exactly (tested in tests/test_checkpoint.py).
+
+Format: a single ``.npz`` file; the pytree structure is rebuilt from the
+stream's own fresh state, so no pickled code is loaded (np.load with
+allow_pickle=False — corrupt/hostile files can't execute anything).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> list[np.ndarray]:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return [np.asarray(leaf) for leaf in leaves]
+
+
+def save_stream(path: str | Path, stream) -> None:
+    """Serialize a Stream's full resumable state to ``path`` (.npz)."""
+    state = stream.state_pytree()
+    leaves = _flatten(state["carry"])
+    ring = stream.ring
+    total = int(ring.total_written)
+    keep = min(total, ring.capacity)
+    ring_data = ring.latest(keep) if keep else np.zeros((stream.channels, 0), np.float32)
+    payload = {f"carry_{i}": leaf for i, leaf in enumerate(leaves)}
+    payload["t"] = np.int64(state["t"])
+    payload["next_frame"] = np.int64(state["next_frame"])
+    payload["ring_data"] = ring_data
+    payload["ring_total"] = np.int64(total)
+    payload["dropped"] = np.int64(stream.dropped_frames)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **payload)
+
+
+def load_stream(path: str | Path, stream) -> None:
+    """Restore state saved by :func:`save_stream` into a freshly
+    constructed Stream with identical Settings."""
+    with np.load(path, allow_pickle=False) as z:
+        fresh = stream.pipe.init_stream_carry(
+            (stream.channels,) if stream.channels > 1 else ())
+        treedef = jax.tree_util.tree_structure(fresh)
+        n_leaves = len(jax.tree_util.tree_leaves(fresh))
+        leaves = [z[f"carry_{i}"] for i in range(n_leaves)]
+        carry = jax.tree_util.tree_unflatten(treedef, leaves)
+        total = int(z["ring_total"])
+        ring_data = z["ring_data"]
+        # replay the retained window at its absolute position: pushing
+        # (total - kept) zeros first restores the absolute sample indexing
+        kept = ring_data.shape[-1]
+        skip = total - kept
+        if skip > 0:
+            cap = stream.ring.capacity
+            # only the last `capacity` samples matter; fast-forward with one
+            # oversized zero push, then overwrite with the real tail
+            stream.ring.push(np.zeros((stream.channels, min(skip, cap + 1)),
+                                      np.float32))
+            remaining = skip - min(skip, cap + 1)
+            while remaining > 0:
+                chunk = min(remaining, cap)
+                stream.ring.push(np.zeros((stream.channels, chunk), np.float32))
+                remaining -= chunk
+        if kept:
+            stream.ring.push(ring_data)
+        stream.load_state({"carry": carry, "t": int(z["t"]),
+                           "next_frame": int(z["next_frame"])})
+        stream.dropped_frames = int(z["dropped"])

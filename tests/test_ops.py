@@ -1,0 +1,110 @@
+"""Operability subsystems: checkpoint/resume to disk, prewarm, hover
+readout on the pipeline, tracing utils (SURVEY.md §5 + §7 hard part 3)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from emspec.config import Settings
+from emspec.io import synth
+from emspec.pipeline import Pipeline, get_pipeline, prewarm
+from emspec.stream import Stream, stream_signal
+from emspec.utils.checkpoint import load_stream, save_stream
+from emspec.utils.tracing import StageTimer
+
+SR = 48_000
+
+
+def _settings(**kw):
+    kw.setdefault("multires", True)
+    kw.setdefault("multires_sizes", (2048, 1024, 512))
+    kw.setdefault("raster_height", 128)
+    kw.setdefault("hop", 256)
+    kw.setdefault("smoothing", 0.5)
+    return Settings(**kw)
+
+
+# -------------------------------------------------------------- checkpoint
+def test_checkpoint_resume_bit_exact(tmp_path):
+    """Save mid-stream, resume in a fresh process-level Stream, outputs
+    must equal the uninterrupted run exactly (SURVEY.md §5.4)."""
+    s = _settings(mode="enhanced")
+    x = synth.chirp(100.0, 6000.0, 0.3, SR)
+    half = len(x) // 2
+    ckpt = tmp_path / "stream.npz"
+
+    st1 = Stream(s)
+    cols_a = st1.push(x[:half])
+    save_stream(ckpt, st1)
+
+    st2 = Stream(s)
+    load_stream(ckpt, st2)
+    cols_b = st2.push(x[half:]) + st2.flush()
+
+    ref_vis, _ = stream_signal(x, s)
+    got = {c.index: np.asarray(c.vis) for c in cols_a + cols_b}
+    assert sorted(got) == list(range(ref_vis.shape[0]))
+    for i, want in enumerate(ref_vis):
+        np.testing.assert_allclose(got[i], want, atol=1e-6)
+
+
+def test_checkpoint_rejects_pickle(tmp_path):
+    """Checkpoint loading must never execute pickled code."""
+    import pickle
+    bad = tmp_path / "evil.npz"
+    bad.write_bytes(pickle.dumps({"boom": 1}))
+    st = Stream(_settings(mode="natural"))
+    with pytest.raises(Exception):
+        load_stream(bad, st)
+
+
+# ----------------------------------------------------------------- prewarm
+def test_prewarm_compiles_stream_step():
+    s = _settings(mode="enhanced")
+    fut = prewarm(s, sizes=(512, 1024), background=True)
+    fut.result(timeout=300)
+    # the warmed executable is the very object Stream uses
+    pipe = get_pipeline(s.replace(multires=False, fft_size=1024))
+    st = Stream(s.replace(multires=False, fft_size=1024))
+    assert st._step is pipe._stream_jit
+    t0 = time.perf_counter()
+    st.push(synth.tone(440.0, 0.1, SR))
+    assert time.perf_counter() - t0 < 5.0  # no fresh compile stall
+
+
+# ------------------------------------------------------------------- hover
+def test_pipeline_hover_readout():
+    pipe = Pipeline(_settings(raster_height=256))
+    # A4 row round-trips
+    row = pipe.row_of_frequency(440.0)
+    f = pipe.frequency_at_row(row)
+    assert abs(np.log2(f / 440.0)) < np.log2(pipe.row_freqs[1] / pipe.row_freqs[0])
+    assert "Hz" in pipe.describe_row(row) and "A4" in pipe.describe_row(row)
+    # extremes stay in range
+    assert pipe.row_of_frequency(1.0) == 0
+    assert pipe.row_of_frequency(1e6) == pipe.rows - 1
+    # freq_scale zoom changes the mapping (Freq Scale slider contract)
+    zoomed = Pipeline(_settings(raster_height=256, freq_scale=2.0))
+    assert zoomed.frequency_at_row(255) < pipe.frequency_at_row(255)
+
+
+# ----------------------------------------------------------------- tracing
+def test_stage_timer():
+    t = StageTimer()
+    t.start()
+    time.sleep(0.01)
+    t.stop("a")
+    time.sleep(0.005)
+    t.stop("b")
+    rep = t.report_us()
+    assert rep["a"] >= 9_000 and rep["b"] >= 4_000
+
+
+def test_trace_context(tmp_path):
+    """jax.profiler trace round-trip produces trace artifacts."""
+    import jax.numpy as jnp
+    from emspec.utils.tracing import trace
+    with trace(str(tmp_path)):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    assert any(tmp_path.rglob("*"))   # profile files written
