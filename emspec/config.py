@@ -76,6 +76,9 @@ class Settings:
 
     # -------- analysis detail knobs (rebuild-specific, documented [INF]) --------
     freq_min: float = 20.0              # bottom of the log-frequency axis
+    fft_method: str = "stencil"         # reassignment FFT formulation:
+                                        # "stencil" (2 rffts + exact Hann
+                                        # stencils) or "direct" (3 rffts)
     scatter: str = "auto"               # reassignment scatter backend:
                                         # "auto" (pallas on TPU), "pallas",
                                         # or "segment_sum" (SURVEY §7 hard
@@ -98,6 +101,8 @@ class Settings:
             raise ValueError("smoothing must be in [0, 1)")
         if self.scatter not in ("auto", "pallas", "segment_sum"):
             raise ValueError(f"unknown scatter backend: {self.scatter!r}")
+        if self.fft_method not in ("stencil", "direct"):
+            raise ValueError(f"unknown fft_method: {self.fft_method!r}")
 
     # ---- derived quantities ----
     @property
@@ -137,7 +142,7 @@ class Settings:
 STRUCTURAL_FIELDS = frozenset({
     "fft_size", "sample_rate", "channels", "mode", "multires",
     "multires_sizes", "raster_height", "raster_width", "hop", "agc_global",
-    "scatter",
+    "scatter", "fft_method",
 })
 
 

@@ -37,6 +37,7 @@ from emspec.dsp.multires import (
     MergeTables, bank_offsets, build_merge_tables, merge_columns,
 )
 from emspec.dsp.reassign import reassignment_corrections
+from emspec.dsp.stft import stft_triple_stencil
 from emspec.dsp.windows import window_triple, hann
 from emspec.post.chain import PostParams, PostState, postprocess_column
 from emspec.post.colormap import apply_lut, lut
@@ -156,10 +157,14 @@ class Pipeline:
         sr = float(self.settings.sample_rate)
         rows_l, delta_l, contrib_l = [], [], []
         for frames, n, bb in zip(frames_list, self.sizes, p.band_bins):
-            w3 = jnp.asarray(window_triple(n))
-            shaped = w3.reshape((3,) + (1,) * (frames.ndim - 1) + (n,))
-            X = jnp.fft.rfft(frames[None, ...] * shaped, axis=-1)
-            power, dt, dw = reassignment_corrections(X[0], X[1], X[2])
+            if self.settings.fft_method == "stencil":
+                X = stft_triple_stencil(frames)
+            else:
+                w3 = jnp.asarray(window_triple(n))
+                shaped = w3.reshape((3,) + (1,) * (frames.ndim - 1) + (n,))
+                Xs = jnp.fft.rfft(frames[None, ...] * shaped, axis=-1)
+                X = (Xs[0], Xs[1], Xs[2])
+            power, dt, dw = reassignment_corrections(*X)
             k_count = n // 2 + 1
             k_idx = jnp.arange(k_count, dtype=jnp.float32)
             f_hat = (k_idx + dw * (n / (2.0 * np.pi))) * (sr / n)   # Hz

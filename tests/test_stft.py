@@ -60,6 +60,22 @@ def test_stft_triple_shapes_and_hann_equals_plain():
     np.testing.assert_allclose(np.asarray(X_h), want, atol=2e-4 * np.abs(want).max())
 
 
+@pytest.mark.parametrize("n,hop", [(512, 128), (4096, 1024)])
+def test_stencil_method_matches_direct(n, hop):
+    """The 2-rfft stencil formulation (modulation theorem, exact for
+    periodic Hann) must match the 3-rfft direct windowed FFTs to float32
+    rounding."""
+    x = jnp.asarray(synth.multitone([440.0, 3000.0], 0.12)
+                    + synth.noise(0.12, seed=5, amplitude=0.01))
+    direct = stft_triple(x, n, hop, method="direct")
+    stencil = stft_triple(x, n, hop, method="stencil")
+    for name, a, b in zip(("X_h", "X_th", "X_dh"), direct, stencil):
+        scale = float(jnp.abs(a).max())
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=5e-5,
+                                   err_msg=name)
+
+
 def test_batched_channels():
     x = np.stack([synth.tone(440.0, 0.1), synth.tone(880.0, 0.1)])
     S = np.asarray(power_spectrogram(jnp.asarray(x), 1024, 256))
