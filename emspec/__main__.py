@@ -117,8 +117,11 @@ def cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    from emspec import __version__
     ap = argparse.ArgumentParser(prog="emspec",
                                  description="TPU-native streaming spectrogram framework")
+    ap.add_argument("--version", action="version",
+                    version=f"emspec {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     pr = sub.add_parser("render", help="render a WAV file to a PNG spectrogram")

@@ -74,10 +74,13 @@ def _latency(settings, hops: int = 200) -> dict:
     import jax
     from emspec.stream import Stream
 
-    st = Stream(settings)
+    from emspec.pipeline import get_pipeline
+    pipe = get_pipeline(settings)
+    seconds = ((pipe.n_max + (hops + pipe.reach + 4) * pipe.hop)
+               / settings.sample_rate + 0.1)
+    st = Stream(settings, ring_seconds=seconds + 1.0)   # whole signal resident
     n_max, hop = st.pipe.n_max, st.pipe.hop
-    x = _signal((n_max + (hops + st.reach + 4) * hop) / settings.sample_rate
-                + 0.1, settings.sample_rate, settings.channels)
+    x = _signal(seconds, settings.sample_rate, settings.channels)
     st.ring.push(x)
     # warmup (compile + fill the pending ring)
     for _ in range(st.reach + 3):

@@ -54,6 +54,7 @@ class Stream:
         self.dropped_frames = 0     # overrun accounting (SURVEY.md §5.3)
         self._carry = self.pipe.init_stream_carry(lead)
         self._t = 0                 # host mirror of the carry's hop counter
+        self._last_col = None       # underrun repaint contract (SURVEY 5.3)
         self._next_frame = 0        # next hop index to analyze
         self._paused = False
         # the pipeline's canonical donated-carry executable (shared with
@@ -81,6 +82,14 @@ class Stream:
         if self._paused:
             return []
         return self._drain()
+
+    def last_column(self) -> Column | None:
+        """The most recently emitted column, or None before the first.
+
+        Underrun contract (SURVEY.md §5.3): when the producer starves the
+        stream, the app loop keeps painting this column so the display
+        never freezes on a half-drawn frame."""
+        return self._last_col
 
     def flush(self) -> list[Column]:
         """Emit the R pending columns at stream end (zero-padded hops).
@@ -123,7 +132,9 @@ class Stream:
         self._t += 1
         if idx < 0:
             return []                                     # warmup, discarded
-        return [Column(index=idx, vis=vis, rgba=rgba)]
+        col = Column(index=idx, vis=vis, rgba=rgba)
+        self._last_col = col
+        return [col]
 
     # ------------------------------------------------------- state save/load
     def state_pytree(self):

@@ -110,6 +110,38 @@ def test_pause_resume():
     assert indices[0] == 0                 # nothing was lost
 
 
+def test_underrun_last_column_repaint():
+    """SURVEY.md §5.3: when input starves, the app repaints last_column."""
+    s = _settings(mode="natural")
+    st = Stream(s)
+    assert st.last_column() is None
+    cols = st.push(synth.tone(440.0, 0.1, SR))
+    assert cols
+    last = st.last_column()
+    assert last is not None and last.index == cols[-1].index
+    assert st.push(np.zeros(4, np.float32)) == []     # starved: no new column
+    assert st.last_column() is last                    # but repaintable
+
+
+def test_global_agc_couples_channels():
+    """agc_global=True drives every channel with one shared reference —
+    the cross-chip collective surface (SURVEY.md §5.8)."""
+    import jax.numpy as jnp
+    from emspec.pipeline import Pipeline
+    s = _settings(mode="natural", channels=2, agc_global=True)
+    x = np.stack([synth.tone(440.0, 0.2, SR),
+                  0.001 * synth.tone(2000.0, 0.2, SR)])   # loud + quiet ch
+    pipe = Pipeline(s)
+    _, _, state = pipe.process(x)
+    refs = np.asarray(state.agc_ref)
+    assert refs.shape == (2,)
+    np.testing.assert_allclose(refs[0], refs[1])          # coupled
+    s2 = s.replace(agc_global=False)
+    _, _, state2 = Pipeline(s2).process(x)
+    refs2 = np.asarray(state2.agc_ref)
+    assert abs(refs2[0] - refs2[1]) > 1.0                  # decoupled differ
+
+
 def test_overrun_recovery():
     """Producer laps the ring while paused → stream skips ahead instead of
     dying, and counts the dropped frames (SURVEY.md §5.3)."""
