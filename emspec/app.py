@@ -1,0 +1,116 @@
+"""Application controller: the reference's app shell minus the GUI (L5/L6).
+
+Realizes the settings-change call stack of SURVEY.md §3.3:
+
+* continuous params (gain, dB range, gate, smoothing, AGC strength,
+  brightness, low-end boost, freq scale, colormap, scroll speed) take
+  effect next hop with **no recompile** — the controller just rebuilds the
+  ``PipelineParams`` pytree;
+* structural params (FFT size, mode, multires, channels, sample rate)
+  re-specialize: the controller swaps in a new Stream whose executable was
+  ideally pre-warmed (``prewarm``), carrying the display over;
+* presets Add/Edit/Delete persist JSON (README.md:16);
+* Enhanced/Natural toggle switches the reassignment branch;
+* the Max-for-Live ``live_state.json`` watcher pauses/resumes the stream
+  (docs/MAX-FOR-LIVE.md).
+
+The product boundary stays the RGBA raster: ``app.image()`` is what a
+window would blit (reference README.md:35-39).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from emspec.config import PresetStore, Settings, is_structural_change
+from emspec.integrations.live_state import LiveStateWatcher
+from emspec.render.waterfall import Waterfall
+from emspec.stream import Stream
+from emspec.utils.notes import describe_frequency
+
+
+class EmSpecApp:
+    """Headless application driver over the streaming pipeline."""
+
+    def __init__(self, settings: Settings | None = None,
+                 user_dir: str | Path = ".emspec",
+                 prewarm_sizes: tuple | None = None):
+        self.user_dir = Path(user_dir)
+        self.presets = PresetStore(self.user_dir / "presets.json")
+        self.settings = settings or self.presets.get("Default")
+        self.stream = Stream(self.settings)
+        self.waterfall = Waterfall(self.settings.raster_width,
+                                   self.settings.raster_height,
+                                   self.settings.scroll_speed)
+        self.watcher = LiveStateWatcher(
+            self.user_dir / "live_state.json",
+            on_minimized=self.stream.pause,
+            on_restored=self.stream.resume)
+        self._warm_future = None
+        if prewarm_sizes:
+            from emspec.pipeline import prewarm
+            self._warm_future = prewarm(self.settings, prewarm_sizes)
+
+    # ------------------------------------------------------------- audio in
+    def push_audio(self, samples: np.ndarray) -> int:
+        """Feed captured samples; paints finished columns into the
+        waterfall. Returns the number of columns painted."""
+        self.watcher.poll()
+        cols = self.stream.push(samples)
+        for c in cols:
+            self.waterfall.add_column(c.rgba)
+        return len(cols)
+
+    def image(self) -> np.ndarray:
+        """(rows, width, 4) uint8 — what a window would blit."""
+        return self.waterfall.image()
+
+    # ------------------------------------------------------------- settings
+    def apply_settings(self, new: Settings) -> str:
+        """Apply a settings change the way the reference panel does
+        (SURVEY.md §3.3). Returns "continuous" | "structural" | "noop"."""
+        old = self.settings
+        if new == old:
+            return "noop"
+        self.settings = new
+        if is_structural_change(old, new):
+            # re-specialize: fresh stream (pre-warmed executables make this
+            # stall-free), fresh display geometry if it changed
+            was_paused = self.stream._paused
+            self.stream = Stream(new)
+            if was_paused:
+                self.stream.pause()
+            self.watcher.on_minimized = self.stream.pause
+            self.watcher.on_restored = self.stream.resume
+            if (new.raster_width != old.raster_width
+                    or new.raster_height != old.raster_height):
+                self.waterfall = Waterfall(new.raster_width, new.raster_height,
+                                           new.scroll_speed)
+            else:
+                self.waterfall.scroll_speed = new.scroll_speed
+            return "structural"
+        # continuous: swap the params pytree in place — next hop sees it
+        self.stream.params = self.stream.pipe.params(new)
+        self.waterfall.scroll_speed = new.scroll_speed
+        return "continuous"
+
+    def set(self, **changes) -> str:
+        """Slider-style convenience: ``app.set(gain=5.0)``."""
+        return self.apply_settings(self.settings.replace(**changes))
+
+    # -------------------------------------------------------------- presets
+    def save_preset(self, name: str) -> None:
+        self.presets.add(name, self.settings)
+
+    def load_preset(self, name: str) -> str:
+        return self.apply_settings(self.presets.get(name))
+
+    def delete_preset(self, name: str) -> None:
+        self.presets.delete(name)
+
+    # ---------------------------------------------------------------- hover
+    def hover(self, row: int) -> str:
+        """Shift+hover readout for a display row (README.md:39)."""
+        return describe_frequency(self.stream.pipe.frequency_at_row(row))

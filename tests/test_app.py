@@ -1,0 +1,92 @@
+"""Application-controller tests: the settings-change call stack of
+SURVEY.md §3.3 (continuous vs structural), presets, M4L pause, hover."""
+
+import numpy as np
+import pytest
+
+from emspec.app import EmSpecApp
+from emspec.config import Settings
+from emspec.integrations import live_state
+from emspec.io import synth
+
+SR = 48_000
+
+
+def _app(tmp_path, **kw):
+    kw.setdefault("multires", True)
+    kw.setdefault("multires_sizes", (1024, 512))
+    kw.setdefault("raster_height", 64)
+    kw.setdefault("raster_width", 32)
+    kw.setdefault("hop", 256)
+    return EmSpecApp(Settings(**kw), user_dir=tmp_path)
+
+
+def test_audio_to_image(tmp_path):
+    app = _app(tmp_path)
+    n = app.push_audio(synth.tone(440.0, 0.3, SR))
+    assert n > 0
+    img = app.image()
+    assert img.shape == (64, 32, 4)
+    assert img[..., :3].max() > 0      # something was painted
+
+
+def test_continuous_change_keeps_stream(tmp_path):
+    app = _app(tmp_path)
+    stream_before = app.stream
+    pipe_before = app.stream.pipe
+    assert app.set(gain=9.0, colormap="viridis", db_range=80.0) == "continuous"
+    assert app.stream is stream_before          # no re-specialization
+    assert app.stream.pipe is pipe_before
+    assert app.set(gain=9.0, colormap="viridis", db_range=80.0) == "noop"
+
+
+def test_structural_change_swaps_stream(tmp_path):
+    app = _app(tmp_path)
+    app.push_audio(synth.tone(440.0, 0.1, SR))
+    stream_before = app.stream
+    assert app.set(mode="natural") == "structural"
+    assert app.stream is not stream_before
+    assert app.push_audio(synth.tone(440.0, 0.1, SR)) > 0  # keeps working
+
+
+def test_preset_roundtrip(tmp_path):
+    app = _app(tmp_path)
+    app.set(low_end_boost=7.5)
+    app.save_preset("Bass Heavy")
+    app.set(low_end_boost=1.0)
+    assert app.load_preset("Bass Heavy") == "continuous"
+    assert app.settings.low_end_boost == 7.5
+    # persisted across app instances
+    app2 = _app(tmp_path)
+    assert app2.presets.get("Bass Heavy").low_end_boost == 7.5
+
+
+def test_m4l_pause_resume_via_state_file(tmp_path):
+    app = _app(tmp_path)
+    live_state.write_state(tmp_path / "live_state.json", "minimized")
+    assert app.push_audio(synth.tone(440.0, 0.1, SR)) == 0   # paused
+    live_state.write_state(tmp_path / "live_state.json", "restored")
+    assert app.push_audio(synth.tone(440.0, 0.1, SR)) > 0
+
+
+def test_m4l_pause_survives_structural_change(tmp_path):
+    app = _app(tmp_path)
+    live_state.write_state(tmp_path / "live_state.json", "minimized")
+    app.push_audio(synth.tone(440.0, 0.05, SR))              # registers pause
+    app.set(mode="natural")                                  # swap stream
+    assert app.push_audio(synth.tone(440.0, 0.1, SR)) == 0   # still paused
+    live_state.write_state(tmp_path / "live_state.json", "restored")
+    assert app.push_audio(synth.tone(440.0, 0.2, SR)) > 0
+
+
+def test_hover(tmp_path):
+    app = _app(tmp_path, raster_height=512)   # fine enough to resolve A4
+    row = app.stream.pipe.row_of_frequency(440.0)
+    assert "A4" in app.hover(row)
+    assert "Hz" in app.hover(0)
+
+
+def test_scroll_speed_is_continuous(tmp_path):
+    app = _app(tmp_path)
+    assert app.set(scroll_speed=2.0) == "continuous"
+    assert app.waterfall.scroll_speed == 2.0

@@ -1,0 +1,65 @@
+"""Channel-sharded processing on the virtual 8-device CPU mesh
+(SURVEY.md §2.5/§5.8; the driver's dryrun covers the same path)."""
+
+import jax
+import numpy as np
+import pytest
+
+from emspec.config import Settings
+from emspec.parallel import ShardedPipeline, channel_mesh
+from emspec.pipeline import Pipeline
+from emspec.io import synth
+
+SR = 48_000
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs multiple devices")
+
+
+def _settings(**kw):
+    kw.setdefault("mode", "enhanced")
+    kw.setdefault("multires", True)
+    kw.setdefault("multires_sizes", (1024, 512))
+    kw.setdefault("raster_height", 128)
+    kw.setdefault("hop", 256)
+    return Settings(**kw)
+
+
+@needs_mesh
+def test_sharded_matches_single_device():
+    n_dev = len(jax.devices())
+    s = _settings(channels=2 * n_dev, smoothing=0.4)
+    x = np.stack([synth.tone(200.0 * (c + 1), 0.1, SR)
+                  for c in range(s.channels)])
+    mesh = channel_mesh()
+    sp = ShardedPipeline(s, mesh)
+    vis_sh, rgba_sh, state_sh = sp.process(x)
+    vis_1, rgba_1, state_1 = Pipeline(s).process(x)
+    np.testing.assert_allclose(np.asarray(vis_sh), np.asarray(vis_1), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_sh.agc_ref),
+                               np.asarray(state_1.agc_ref), atol=1e-4)
+    # outputs really are sharded over the mesh
+    assert len(vis_sh.sharding.device_set) == n_dev
+
+
+@needs_mesh
+def test_sharded_global_agc_collective():
+    """agc_global=True forces a cross-chip all-reduce; references must be
+    identical on every shard."""
+    n_dev = len(jax.devices())
+    s = _settings(channels=n_dev, agc_global=True)
+    x = np.stack([(10.0 ** -c) * synth.tone(440.0, 0.08, SR)
+                  for c in range(s.channels)])      # wildly uneven levels
+    sp = ShardedPipeline(s, channel_mesh())
+    _, _, state = sp.process(x)
+    refs = np.asarray(state.agc_ref)
+    np.testing.assert_allclose(refs, refs[0], atol=1e-5)
+
+
+@needs_mesh
+def test_sharded_rejects_indivisible_channels():
+    s = _settings(channels=3)
+    if len(jax.devices()) in (1, 3):
+        pytest.skip("degenerate mesh size")
+    with pytest.raises(ValueError, match="divisible"):
+        ShardedPipeline(s, channel_mesh())
