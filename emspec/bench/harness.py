@@ -46,24 +46,35 @@ def _throughput(settings, seconds: float, iters: int) -> dict:
     lead = (settings.channels,) if settings.channels > 1 else ()
     st = PostState.init(lead + (pipe.rows,))
 
-    out = pipe._batch_jit(xd, p, st, t_count)          # compile
-    jax.block_until_ready(out)
-    # chained-state timing: the PostState output feeds the next call so no
-    # two executions are identical and the remote runtime can't dedupe or
-    # overlap them dishonestly
-    st_c = st
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        vis, rgba, st_c = pipe._batch_jit(xd, p, st_c, t_count)
-    jax.block_until_ready((vis, rgba, st_c))
-    dt = time.perf_counter() - t0
-    cols_per_sec = t_count * iters / dt
+    vis, rgba, st1 = pipe._batch_jit(xd, p, st, t_count)   # compile
+    _ = np.asarray(st1.agc_ref)                            # force execution
+    # Honest timing on a deferred-execution runtime (see BENCH.md):
+    # 1) chain the PostState through every call so each iteration depends
+    #    on the previous one (no dedup/reorder possible);
+    # 2) end with a HOST FETCH of a chained scalar — block_until_ready is
+    #    not a reliable execution barrier on remote backends, a host copy
+    #    is (it forces the whole dependency chain);
+    # 3) report the MARGINAL per-call cost from two iteration counts, so
+    #    the fixed per-chain round-trip doesn't inflate the number.
+    # wide spread so the marginal slope is well-conditioned even in quick mode
+    lo = max(iters, 2)
+    hi = 4 * lo
+    totals = []
+    for it in (lo, hi):
+        st_c = st
+        t0 = time.perf_counter()
+        for _ in range(it):
+            vis, rgba, st_c = pipe._batch_jit(xd, p, st_c, t_count)
+        _ = np.asarray(st_c.agc_ref)
+        totals.append(time.perf_counter() - t0)
+    dt = (totals[1] - totals[0]) / (hi - lo)               # marginal s/call
+    cols_per_sec = t_count / dt
     return {
         "columns_per_sec": cols_per_sec,
         "frames_per_sec_total": cols_per_sec * max(settings.channels, 1),
         "t_count": t_count,
         "iters": iters,
-        "wall_s": dt,
+        "ms_per_call_marginal": dt * 1e3,
         "realtime_factor": cols_per_sec * pipe.hop / settings.sample_rate,
     }
 
@@ -76,13 +87,16 @@ def _latency(settings, hops: int = 200) -> dict:
 
     from emspec.pipeline import get_pipeline
     pipe = get_pipeline(settings)
-    seconds = ((pipe.n_max + (hops + pipe.reach + 4) * pipe.hop)
+    total_hops = hops + max(hops // 2, 8) + pipe.reach + 8
+    seconds = ((pipe.n_max + total_hops * pipe.hop)
                / settings.sample_rate + 0.1)
     st = Stream(settings, ring_seconds=seconds + 1.0)   # whole signal resident
     n_max, hop = st.pipe.n_max, st.pipe.hop
     x = _signal(seconds, settings.sample_rate, settings.channels)
     st.ring.push(x)
-    # warmup (compile + fill the pending ring)
+    # warmup (compile + fill the pending ring); np.asarray forces real
+    # execution — block_until_ready is not a reliable barrier on remote
+    # backends (BENCH.md methodology)
     for _ in range(st.reach + 3):
         window = st.ring.window_at(st._next_frame * hop, n_max)
         if settings.channels == 1:
@@ -90,21 +104,40 @@ def _latency(settings, hops: int = 200) -> dict:
         cols = st._run_one(window)
         st._next_frame += 1
         if cols:
-            jax.block_until_ready(cols[0].rgba)
-    times = []
-    for _ in range(hops):
+            _ = np.asarray(cols[0].rgba)
+    def one_hop():
         window = st.ring.window_at(st._next_frame * hop, n_max)
         if settings.channels == 1:
             window = window[0]
-        t0 = time.perf_counter()
         cols = st._run_one(window)
-        jax.block_until_ready(cols[0].rgba)
-        times.append(time.perf_counter() - t0)
         st._next_frame += 1
+        return cols[0]
+
+    # (a) round-trip: stage window → step → RGBA column fetched to host.
+    # Includes the environment's tunnel fetch (~30 ms here); on a locally
+    # attached TPU this is the true audio-to-raster latency.
+    times = []
+    for _ in range(hops):
+        t0 = time.perf_counter()
+        col = one_hop()
+        _ = np.asarray(col.rgba)   # display can only blit a host column
+        times.append(time.perf_counter() - t0)
     times = np.asarray(times) * 1e3
+
+    # (b) pipelined marginal: N hops chained (the carry serializes them),
+    # one fetch at the end — per-hop device cost when display fetches
+    # overlap compute, tunnel round-trip excluded.
+    k = max(hops // 2, 8)
+    t0 = time.perf_counter()
+    for _ in range(k):
+        col = one_hop()
+    _ = np.asarray(col.rgba)
+    pipelined_ms = (time.perf_counter() - t0) / k * 1e3
+
     return {"p50_ms": float(np.percentile(times, 50)),
             "p99_ms": float(np.percentile(times, 99)),
             "mean_ms": float(times.mean()),
+            "pipelined_ms_per_hop": pipelined_ms,
             "hops": hops}
 
 

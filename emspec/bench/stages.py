@@ -1,0 +1,107 @@
+"""Per-stage timing breakdown (SURVEY.md §5.5: "per-stage μs").
+
+Times cumulative pipeline prefixes (framing → FFT+corrections → scatter →
+post chain → LUT) as separately-jitted functions and reports the
+differences.  Prefix-timing measures each stage *with fusion context*
+rather than in isolation, which is what actually matters under XLA.
+Bench-mode only — every measurement fences the device.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from emspec.config import MODE_ENHANCED, Settings
+from emspec.pipeline import Pipeline
+from emspec.post.chain import PostState, postprocess_column
+from emspec.post.colormap import apply_lut
+
+
+def stage_breakdown(settings: Settings, seconds: float = 4.0,
+                    iters: int = 20) -> dict:
+    from emspec.bench.harness import _signal
+
+    pipe = Pipeline(settings)
+    ch = settings.channels
+    x = _signal(seconds, settings.sample_rate, ch)
+    if ch == 1 and x.ndim > 1:
+        x = x[0]
+    t_count = pipe.num_columns(x.shape[-1])
+    p = pipe.params()
+    lead = (ch,) if ch > 1 else ()
+    st = PostState.init(lead + (pipe.rows,))
+    xd = jax.device_put(x)
+
+    def upto_frames(x):
+        return tuple(pipe._bank_frames(x, t_count))
+
+    def upto_deposits(x):
+        return pipe._deposits(pipe._bank_frames(x, t_count), p)
+
+    def upto_power(x):
+        if settings.mode == MODE_ENHANCED:
+            return pipe._enhanced_power(x, t_count, p)
+        return pipe._natural_power(x, t_count, p)
+
+    def upto_post(x, st):
+        power = upto_power(x)
+        cols_first = jnp.moveaxis(power, -2, 0)
+
+        def step(s, col):
+            out, s = postprocess_column(col, s, p.post, settings.agc_global)
+            return s, out
+
+        return jax.lax.scan(step, st, cols_first)
+
+    def upto_lut(x, st):
+        st2, vis = upto_post(x, st)
+        return apply_lut(vis, p.lut), st2
+
+    def timed(fn, *args):
+        """Fetch-forced marginal timing (see BENCH.md methodology —
+        block_until_ready is not a reliable barrier on remote backends).
+        Iterations chain through a zero-valued perturbation of x so the
+        runtime cannot dedupe or reorder them."""
+        f = jax.jit(fn)
+        first = jax.tree_util.tree_leaves(f(*args))[0]
+        _ = np.asarray(first[(0,) * first.ndim])          # warmup + force
+        totals = []
+        for it in (max(iters // 4, 2), iters):
+            a = args
+            t0 = time.perf_counter()
+            for _ in range(it):
+                out = jax.tree_util.tree_leaves(f(*a))[0]
+                probe = out[(0,) * out.ndim]
+                a = (args[0] * (1.0 + 0.0 * probe),) + args[1:]
+            _ = np.asarray(probe)
+            totals.append(time.perf_counter() - t0)
+        return (totals[1] - totals[0]) / (iters - max(iters // 4, 2)) * 1e6
+
+    prefixes = {
+        "frames": timed(upto_frames, xd),
+        "fft+corrections+bins": timed(upto_deposits, xd),
+        "scatter(power-grid)": timed(upto_power, xd),
+        "post-chain-scan": timed(upto_post, xd, st),
+        "lut": timed(upto_lut, xd, st),
+    }
+    names = list(prefixes)
+    stages = {names[0]: prefixes[names[0]]}
+    for a, b in zip(names, names[1:]):
+        stages[b] = max(prefixes[b] - prefixes[a], 0.0)
+    return {
+        "t_count": t_count,
+        "prefix_us": {k: round(v, 1) for k, v in prefixes.items()},
+        "stage_us": {k: round(v, 1) for k, v in stages.items()},
+    }
+
+
+if __name__ == "__main__":
+    import json
+    cfg = Settings(mode="enhanced", multires=False, fft_size=8192)
+    print(json.dumps(stage_breakdown(cfg), indent=2))
+    cfg = Settings(mode="enhanced", multires=True)
+    print(json.dumps(stage_breakdown(cfg), indent=2))

@@ -76,6 +76,13 @@ class Settings:
 
     # -------- analysis detail knobs (rebuild-specific, documented [INF]) --------
     freq_min: float = 20.0              # bottom of the log-frequency axis
+    fft_impl: str = "auto"              # FFT engine: "auto" (four-step MXU
+                                        # matmuls on TPU, XLA rfft elsewhere),
+                                        # "fourstep", or "xla".  NOTE: the
+                                        # streaming==batch BIT-exact guarantee
+                                        # holds for "xla" (rfft is batch-shape-
+                                        # stable); "fourstep" agrees to float32
+                                        # rounding (~1e-5), tested.
     fft_method: str = "stencil"         # reassignment FFT formulation:
                                         # "stencil" (2 rffts + exact Hann
                                         # stencils) or "direct" (3 rffts)
@@ -103,6 +110,8 @@ class Settings:
             raise ValueError(f"unknown scatter backend: {self.scatter!r}")
         if self.fft_method not in ("stencil", "direct"):
             raise ValueError(f"unknown fft_method: {self.fft_method!r}")
+        if self.fft_impl not in ("auto", "fourstep", "xla"):
+            raise ValueError(f"unknown fft_impl: {self.fft_impl!r}")
 
     # ---- derived quantities ----
     @property
@@ -142,7 +151,7 @@ class Settings:
 STRUCTURAL_FIELDS = frozenset({
     "fft_size", "sample_rate", "channels", "mode", "multires",
     "multires_sizes", "raster_height", "raster_width", "hop", "agc_global",
-    "scatter", "fft_method",
+    "scatter", "fft_method", "fft_impl",
 })
 
 

@@ -1,0 +1,141 @@
+"""Four-step (Bailey / Cooley-Tukey) FFT as MXU matmuls.
+
+XLA's TPU FFT runs on the VPU at ~20 GFLOP/s and is the measured
+bottleneck of the hot path (BENCH.md).  The four-step decomposition
+N = N1·N2 turns the transform into two *small dense matmuls* (N1² and N2²
+DFT matrices, VMEM-resident) + one elementwise twiddle — exactly what the
+MXU is built for (SURVEY.md §7 anticipated this as the "4-step
+decomposition" escape hatch).
+
+With x reshaped row-major to (N1, N2), n = N2·n1 + n2, k = k1 + N1·k2:
+
+    A[k1, n2] = Σ_{n1} x[n1, n2]·W_{N1}^{n1·k1}        (matmul over n1)
+    B[k1, n2] = A[k1, n2]·W_N^{n2·k1}                  (twiddle)
+    X[k1, k2] = Σ_{n2} B[k1, n2]·W_{N2}^{n2·k2}        (matmul over n2)
+    out[k1 + N1·k2] = X[k1, k2]
+
+Complex arithmetic is explicit (separate real/imag matmuls) with
+``Precision.HIGHEST`` so results hold float32 accuracy — the default TPU
+matmul precision is bf16 multiplies, which would wreck the reassignment
+corrections.
+
+Bit-stability note: the per-frame computation is identical for a single
+streaming frame and a batched (t, n) call (contraction dims ≤ 256 are
+fixed-order on the MXU), preserving streaming ≡ batch — asserted in
+tests/test_fourstep.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# factorizations: lane-friendly (second factor ≥ first, multiples of 8/128
+# where possible)
+_FACTORS = {
+    512: (16, 32), 1024: (32, 32), 2048: (32, 64), 4096: (64, 64),
+    8192: (64, 128), 16384: (128, 128), 32768: (128, 256),
+    65536: (256, 256),
+}
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@functools.lru_cache(maxsize=None)
+def _tables(n: int):
+    """(C1, S1, TWr, TWi, C2, S2) float32 numpy tables for size n."""
+    n1, n2 = _FACTORS[n]
+    i1 = np.arange(n1)
+    i2 = np.arange(n2)
+    a1 = 2.0 * np.pi * np.outer(i1, i1) / n1          # (k1, n1)
+    a2 = 2.0 * np.pi * np.outer(i2, i2) / n2          # (n2, k2)
+    tw = 2.0 * np.pi * np.outer(i1, i2) / n           # (k1, n2)
+    return (np.cos(a1).astype(np.float32), np.sin(a1).astype(np.float32),
+            np.cos(tw).astype(np.float32), np.sin(tw).astype(np.float32),
+            np.cos(a2).astype(np.float32), np.sin(a2).astype(np.float32))
+
+
+def supported(n: int) -> bool:
+    return n in _FACTORS
+
+
+def _mm(a, b):
+    """(..., m, k) @ (k, n) — full-precision MXU matmul.
+
+    All leading/batch dims fold into M: one big GEMM instead of a batched
+    stack of tiny ones (a (90, 128, 64)@(64, 64) batched matmul dispatches
+    90 MXU-starved GEMMs; (11520, 64)@(64, 64) is a single streaming
+    pass — this folding is where the four-step FFT's speed comes from).
+    """
+    lead = a.shape[:-1]
+    out = jnp.matmul(a.reshape(-1, a.shape[-1]), b, precision=_HI)
+    return out.reshape(lead + (b.shape[-1],))
+
+
+def fft_fourstep(z_r: jnp.ndarray, z_i: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full complex DFT of z = z_r + i·z_i, shape (..., n) → (..., n)."""
+    n = z_r.shape[-1]
+    n1, n2 = _FACTORS[n]
+    C1, S1, TWr, TWi, C2, S2 = (jnp.asarray(t) for t in _tables(n))
+    lead = z_r.shape[:-1]
+    xr = z_r.reshape(lead + (n1, n2))
+    xi = z_i.reshape(lead + (n1, n2))
+
+    # step 1: A = (C1 − i·S1) @ x, contraction over n1.
+    # einsum('kj,...jn->...kn') == matmul with x transposed: use swapaxes.
+    xr_t = jnp.swapaxes(xr, -1, -2)                    # (..., n2, n1)
+    xi_t = jnp.swapaxes(xi, -1, -2)
+    ar = jnp.swapaxes(_mm(xr_t, C1.T), -1, -2)         # Σ_j C1[k,j]·xr[j,n]
+    ai_c = jnp.swapaxes(_mm(xi_t, C1.T), -1, -2)
+    ar_s = jnp.swapaxes(_mm(xr_t, S1.T), -1, -2)
+    ai_s = jnp.swapaxes(_mm(xi_t, S1.T), -1, -2)
+    Ar = ar + ai_s                                     # C1@xr + S1@xi
+    Ai = ai_c - ar_s                                   # C1@xi − S1@xr
+
+    # step 2: twiddle (k1, n2) elementwise
+    Br = Ar * TWr + Ai * TWi
+    Bi = Ai * TWr - Ar * TWi
+
+    # step 3: X[k1, k2] = Σ_{n2} B[k1, n2]·(C2 − i·S2)[n2, k2]
+    Xr = _mm(Br, C2) + _mm(Bi, S2)
+    Xi = _mm(Bi, C2) - _mm(Br, S2)
+
+    # step 4: out[k1 + N1·k2] → transpose (k2, k1) then flatten
+    Xr = jnp.swapaxes(Xr, -1, -2).reshape(lead + (n,))
+    Xi = jnp.swapaxes(Xi, -1, -2).reshape(lead + (n,))
+    return Xr, Xi
+
+
+def rfft_fourstep(x: jnp.ndarray) -> jnp.ndarray:
+    """Real-input DFT → complex64 (..., n//2+1), matching jnp.fft.rfft."""
+    n = x.shape[-1]
+    Xr, Xi = fft_fourstep(x, jnp.zeros_like(x))
+    k = n // 2 + 1
+    return jax.lax.complex(Xr[..., :k], Xi[..., :k])
+
+
+def packed_pair_fft(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """DFTs of two real signals via ONE complex four-step FFT.
+
+    z = a + i·b; unpack by Hermitian split:
+        A(k) = (Z(k) + conj(Z(N−k)))/2,  B(k) = −i·(Z(k) − conj(Z(N−k)))/2
+
+    Returns complex64 (..., n//2+1) for each.  The packing is part of the
+    numeric spec of the enhanced path: streaming and batch both pack the
+    same way, so bit-exactness between them is preserved.
+    """
+    n = a.shape[-1]
+    Zr, Zi = fft_fourstep(a, b)
+    # conj(Z(N−k)) for k=0..K−1: index 0 maps to 0, else reversed
+    idx = (-np.arange(n)) % n
+    Zr_c = Zr[..., idx]
+    Zi_c = -Zi[..., idx]
+    k = n // 2 + 1
+    Ar = 0.5 * (Zr[..., :k] + Zr_c[..., :k])
+    Ai = 0.5 * (Zi[..., :k] + Zi_c[..., :k])
+    Br = 0.5 * (Zi[..., :k] - Zi_c[..., :k])
+    Bi = 0.5 * (Zr_c[..., :k] - Zr[..., :k])
+    return jax.lax.complex(Ar, Ai), jax.lax.complex(Br, Bi)

@@ -66,21 +66,37 @@ def stft_triple(x: jnp.ndarray, n: int, hop: int,
     return stft_triple_stencil(frames)
 
 
-def stft_triple_stencil(frames: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Stencil-method reassignment spectra from pre-cut frames (..., n) —
-    see :func:`stft_triple`.  Works on any leading shape (the frame axis
-    is optional: streaming passes single windows)."""
-    from emspec.dsp.windows import time_weighted_hann
-
-    n = frames.shape[-1]
-    th = jnp.asarray(time_weighted_hann(n, frames.dtype))
-    stack = jnp.stack([frames, frames * th])               # (2, ..., n)
-    F = jnp.fft.rfft(stack, axis=-1)                       # (2, ..., k)
-    X, X_th = F[0], F[1]
-    # full-spectrum neighbors via Hermitian symmetry: X(−1) = conj(X(1)),
-    # X(N/2+1) = conj(X(N/2−1))
+def stencil_from_raw(X: jnp.ndarray, X_th: jnp.ndarray, n: int):
+    """(raw spectrum, t·h spectrum) → (X_h, X_th, X_dh) via the exact
+    periodic-Hann stencils; neighbors at k = −1 and N/2+1 come from
+    Hermitian symmetry of the real input."""
     Xm1 = jnp.concatenate([jnp.conj(X[..., 1:2]), X[..., :-1]], axis=-1)
     Xp1 = jnp.concatenate([X[..., 1:], jnp.conj(X[..., -2:-1])], axis=-1)
     X_h = 0.5 * X - 0.25 * (Xm1 + Xp1)
     X_dh = (-0.5j * jnp.pi / n) * (Xm1 - Xp1)
     return X_h, X_th, X_dh
+
+
+def stft_triple_stencil(frames: jnp.ndarray, fft_impl: str = "xla"
+                        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stencil-method reassignment spectra from pre-cut frames (..., n) —
+    see :func:`stft_triple`.  Works on any leading shape (the frame axis
+    is optional: streaming passes single windows).
+
+    fft_impl="xla": two batched rffts (bitwise batch-shape-stable).
+    fft_impl="fourstep": ONE complex four-step MXU-matmul FFT with the raw
+    and t·h frames packed as real/imag (emspec.dsp.fourstep) — the TPU
+    fast path; float32-rounding-level differences vs "xla".
+    """
+    from emspec.dsp.windows import time_weighted_hann
+
+    n = frames.shape[-1]
+    th = jnp.asarray(time_weighted_hann(n, frames.dtype))
+    if fft_impl == "fourstep":
+        from emspec.dsp.fourstep import packed_pair_fft
+        X, X_th = packed_pair_fft(frames, frames * th)
+    else:
+        stack = jnp.stack([frames, frames * th])           # (2, ..., n)
+        F = jnp.fft.rfft(stack, axis=-1)                   # (2, ..., k)
+        X, X_th = F[0], F[1]
+    return stencil_from_raw(X, X_th, n)

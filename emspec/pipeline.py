@@ -39,7 +39,9 @@ from emspec.dsp.multires import (
 from emspec.dsp.reassign import reassignment_corrections
 from emspec.dsp.stft import stft_triple_stencil
 from emspec.dsp.windows import window_triple, hann
-from emspec.post.chain import PostParams, PostState, postprocess_column
+from emspec.post.chain import (
+    PostParams, PostState, postprocess_batch, postprocess_column,
+)
 from emspec.post.colormap import apply_lut, lut
 
 
@@ -98,6 +100,20 @@ class Pipeline:
                     and (2 * self.reach + 1) * self.rows <= 16384)
         return s == "pallas"
 
+    @property
+    def fft_impl(self) -> str:
+        """Resolved FFT engine ("fourstep" | "xla") — see Settings.fft_impl."""
+        from emspec.dsp import fourstep
+        s = self.settings.fft_impl
+        if s == "auto":
+            if (jax.default_backend() == "tpu"
+                    and all(fourstep.supported(n) for n in self.sizes)):
+                return "fourstep"
+            return "xla"
+        if s == "fourstep" and not all(fourstep.supported(n) for n in self.sizes):
+            raise ValueError(f"fourstep FFT unsupported for sizes {self.sizes}")
+        return s
+
     # ---------------- params ----------------
     def params(self, settings: Settings | None = None) -> PipelineParams:
         """Build the continuous-param pytree (cheap; call on slider moves)."""
@@ -140,7 +156,11 @@ class Pipeline:
         specs = []
         for frames, n in zip(self._bank_frames(x, t_count), self.sizes):
             w = jnp.asarray(hann(n))
-            X = jnp.fft.rfft(frames * w, axis=-1)
+            if self.fft_impl == "fourstep":
+                from emspec.dsp.fourstep import rfft_fourstep
+                X = rfft_fourstep(frames * w)
+            else:
+                X = jnp.fft.rfft(frames * w, axis=-1)
             specs.append((X.real**2 + X.imag**2).astype(jnp.float32))
         tables = MergeTables(self.row_freqs,
                              tuple(p.i0), tuple(p.w0), tuple(p.band_rows))
@@ -158,7 +178,7 @@ class Pipeline:
         rows_l, delta_l, contrib_l = [], [], []
         for frames, n, bb in zip(frames_list, self.sizes, p.band_bins):
             if self.settings.fft_method == "stencil":
-                X = stft_triple_stencil(frames)
+                X = stft_triple_stencil(frames, self.fft_impl)
             else:
                 w3 = jnp.asarray(window_triple(n))
                 shaped = w3.reshape((3,) + (1,) * (frames.ndim - 1) + (n,))
@@ -242,13 +262,10 @@ class Pipeline:
                  if self.settings.mode == MODE_ENHANCED
                  else self._natural_power(x, t_count, p))    # (..., t, rows)
         cols_first = jnp.moveaxis(power, -2, 0)              # (t, ..., rows)
-
-        def step(st, col):
-            out, st = postprocess_column(col, st, p.post,
-                                          self.settings.agc_global)
-            return st, out
-
-        state, vis = jax.lax.scan(step, state, cols_first)
+        # vectorized post chain (bit-identical to the per-column scan the
+        # streaming step uses — see postprocess_batch)
+        vis, state = postprocess_batch(cols_first, state, p.post,
+                                       self.settings.agc_global)
         rgba = apply_lut(vis, p.lut)                          # (t, ..., rows, 4)
         return vis, rgba, state
 

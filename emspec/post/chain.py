@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,6 +84,51 @@ class PostState(NamedTuple):
             smooth=jnp.zeros(shape_rows, jnp.float32),
             agc_ref=jnp.full(tuple(lead), AGC_TARGET_DB, jnp.float32),
         )
+
+
+def postprocess_batch(
+    power_ts: jnp.ndarray, state: PostState, p: PostParams,
+    global_agc: bool = False,
+) -> tuple[jnp.ndarray, PostState]:
+    """Whole-signal post chain: (t, ..., rows) power → (t, ..., rows) vis.
+
+    **Bit-identical** to scanning :func:`postprocess_column` over t — the
+    same per-element operations in the same order — but only the two EMA
+    recurrences (AGC reference, temporal smoothing) stay inside
+    ``lax.scan``; the dB conversion, gate, normalize, and brightness are
+    one big fused elementwise block.  This matters: a naive per-column
+    scan serializes t × rows transcendentals; here the sequential part is
+    two FMAs per element.
+    """
+    boosted = power_ts * p.low_end_ramp * p.gain                   # 1-2
+    v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # 3
+
+    peak_db = jnp.max(v_db, axis=-1)                               # (t, ...)
+    if global_agc:
+        lead_axes = tuple(range(1, peak_db.ndim))
+        if lead_axes:
+            peak_db = jnp.broadcast_to(
+                jnp.max(peak_db, axis=lead_axes, keepdims=True), peak_db.shape)
+
+    def ref_step(ref, pk):
+        new = AGC_DECAY * ref + (1.0 - AGC_DECAY) * pk
+        return new, new
+
+    ref_final, refs = jax.lax.scan(ref_step, state.agc_ref, peak_db)
+    offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - refs)
+    v_db = v_db + offset[..., None]                                # 4
+
+    v_db = jnp.where(v_db < p.noise_gate_db, DB_FLOOR, v_db)       # 5
+    vis = jnp.clip((v_db - (AGC_TARGET_DB - p.db_range)) / p.db_range,
+                   0.0, 1.0)                                       # 6
+
+    def smooth_step(y, col):
+        y = p.smoothing * y + (1.0 - p.smoothing) * col
+        return y, y
+
+    smooth_final, smoothed = jax.lax.scan(smooth_step, state.smooth, vis)  # 7
+    out = jnp.clip(smoothed * (2.0 * p.brightness), 0.0, 1.0)             # 8
+    return out, PostState(smooth=smooth_final, agc_ref=ref_final)
 
 
 def low_end_ramp(freqs_hz: np.ndarray, boost: float, cutoff_hz: float) -> np.ndarray:
