@@ -90,6 +90,17 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_live(args) -> int:
+    from emspec.io.wav import read_wav
+    from emspec.render.terminal import live_view
+
+    _, rate = read_wav(args.input)
+    s = _settings_from(args, rate).replace(multires=True)
+    n = live_view(args.input, s, width=args.width, realtime=not args.fast)
+    print(f"\ndisplayed {n} columns")
+    return 0
+
+
 def cmd_note(args) -> int:
     from emspec.utils.notes import describe_frequency
     print(describe_frequency(args.freq))
@@ -139,6 +150,14 @@ def main(argv=None) -> int:
     ps.add_argument("--width", type=int, default=1024, help="waterfall columns")
     _add_settings_args(ps)
     ps.set_defaults(fn=cmd_stream)
+
+    pl = sub.add_parser("live", help="live terminal waterfall (ANSI truecolor)")
+    pl.add_argument("input")
+    pl.add_argument("--width", type=int, default=512)
+    pl.add_argument("--fast", action="store_true",
+                    help="render as fast as possible instead of audio-rate")
+    _add_settings_args(pl)
+    pl.set_defaults(fn=cmd_live)
 
     pn = sub.add_parser("note", help="frequency → musical note (hover readout)")
     pn.add_argument("freq", type=float)

@@ -105,12 +105,17 @@ def _latency(settings, hops: int = 200) -> dict:
         st._next_frame += 1
         if cols:
             _ = np.asarray(cols[0].rgba)
-    def one_hop():
+    def one_hop(materialize_carry: bool = True):
         window = st.ring.window_at(st._next_frame * hop, n_max)
         if settings.channels == 1:
             window = window[0]
         cols = st._run_one(window)
         st._next_frame += 1
+        if materialize_carry:
+            # deferred-execution runtimes replay the whole un-materialized
+            # carry chain on every fetch (quadratic blowup); forcing the
+            # tiny hop counter to host each hop bounds the chain at 1
+            _ = int(st._carry[0])
         return cols[0]
 
     # (a) round-trip: stage window → step → RGBA column fetched to host.
@@ -130,7 +135,7 @@ def _latency(settings, hops: int = 200) -> dict:
     k = max(hops // 2, 8)
     t0 = time.perf_counter()
     for _ in range(k):
-        col = one_hop()
+        col = one_hop(materialize_carry=False)   # one chain, one fetch
     _ = np.asarray(col.rgba)
     pipelined_ms = (time.perf_counter() - t0) / k * 1e3
 

@@ -1,0 +1,93 @@
+"""Live terminal renderer: the desktop-window analog (L6).
+
+The reference displays a scrolling waterfall in a desktop window
+(README.md:35-39); the rebuild's product boundary is the RGBA raster, and
+this module blits that raster to a terminal with 24-bit ANSI color using
+the half-block trick (▀ paints two vertical pixels per character cell).
+Purely host-side presentation — no device involvement beyond reading the
+waterfall image.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+import numpy as np
+
+_RESET = "\x1b[0m"
+_HOME = "\x1b[H"
+_CLEAR = "\x1b[2J"
+_HIDE = "\x1b[?25l"
+_SHOW = "\x1b[?25h"
+
+
+def _downsample(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(H, W, 4) → (out_h, out_w, 3) by box-averaging (cheap, host)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h)
+    xs = (np.arange(out_w) * w // out_w)
+    return img[ys][:, xs, :3]
+
+
+def frame_to_ansi(img: np.ndarray, cols: int | None = None,
+                  rows: int | None = None) -> str:
+    """Render an (H, W, 4) uint8 raster as ANSI half-block art."""
+    term = shutil.get_terminal_size((100, 40))
+    cols = cols or min(term.columns, 160)
+    rows = rows or min(term.lines - 2, 50)
+    px = _downsample(img, rows * 2, cols)           # 2 pixels per text row
+    out = []
+    for r in range(0, px.shape[0] - 1, 2):
+        top, bot = px[r], px[r + 1]
+        line = []
+        for c in range(px.shape[1]):
+            tr, tg, tb = (int(v) for v in top[c])
+            br, bg, bb = (int(v) for v in bot[c])
+            line.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
+        out.append("".join(line) + _RESET)
+    return "\n".join(out)
+
+
+def live_view(wav_path: str, settings, width: int = 512,
+              realtime: bool = True, out=sys.stdout) -> int:
+    """Stream a WAV through the real-time path, painting the scrolling
+    waterfall to the terminal at (approximately) audio rate.
+
+    Returns the number of columns displayed."""
+    import time
+
+    from emspec.io.wav import read_wav
+    from emspec.render.waterfall import Waterfall
+    from emspec.stream import Stream
+
+    audio, rate = read_wav(wav_path)
+    s = settings.replace(sample_rate=rate)
+    stream = Stream(s)
+    wf = Waterfall(width, s.raster_height, s.scroll_speed)
+    x = audio[0]
+    chunk = max(rate // 30, 1024)                   # ~30 UI updates/sec
+    n_cols = 0
+    start = time.perf_counter()
+    out.write(_CLEAR + _HIDE)
+    try:
+        for i in range(0, len(x), chunk):
+            for col in stream.push(x[i:i + chunk]):
+                wf.add_column(col.rgba)
+                n_cols += 1
+            out.write(_HOME + frame_to_ansi(wf.image()) + "\n")
+            out.flush()
+            if realtime:                            # pace to audio time
+                target = start + (i + chunk) / rate
+                delay = target - time.perf_counter()
+                if delay > 0:
+                    time.sleep(delay)
+        for col in stream.flush():
+            wf.add_column(col.rgba)
+            n_cols += 1
+        out.write(_HOME + frame_to_ansi(wf.image()) + "\n")
+        out.flush()
+    finally:
+        out.write(_SHOW + _RESET)
+        out.flush()
+    return n_cols
