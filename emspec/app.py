@@ -112,5 +112,13 @@ class EmSpecApp:
 
     # ---------------------------------------------------------------- hover
     def hover(self, row: int) -> str:
-        """Shift+hover readout for a display row (README.md:39)."""
-        return describe_frequency(self.stream.pipe.frequency_at_row(row))
+        """Shift+hover readout for a display row (README.md:39).
+
+        Computed from the *current* settings, not the pipeline's
+        construction-time tables — Freq Scale is a continuous slider, so
+        the zoom may have moved since the pipeline was built."""
+        from emspec.dsp.multires import log_freq_axis
+        s = self.settings
+        freqs = log_freq_axis(s.raster_height, s.freq_min, s.freq_max,
+                              s.freq_scale)
+        return describe_frequency(float(freqs[row]))

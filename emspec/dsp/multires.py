@@ -109,6 +109,32 @@ def bank_offsets(sizes: tuple) -> tuple:
     return tuple((n_max - n) // 2 for n in sizes)
 
 
+def band_support_hz(bank: int, n_banks: int, crossover_low: float,
+                    crossover_high: float, nyquist: float,
+                    fade_octaves: float = 0.5) -> tuple[float, float]:
+    """[lo, hi] Hz outside which bank ``bank``'s weight is exactly zero.
+
+    The raised-cosine fade spans ±fade/2 octaves around each crossover, so
+    the analytic support has hard edges — the pipeline slices each bank's
+    spectrum to this range and skips ~90% of the scatter deposits (the
+    out-of-band bins carry weight 0 and would deposit nothing)."""
+    edges = [crossover_low, crossover_high]
+    half = 2.0 ** (fade_octaves / 2.0)
+    lo = 0.0 if bank == 0 else edges[bank - 1] / half
+    hi = nyquist if bank == n_banks - 1 else edges[bank] * half
+    return lo, hi
+
+
+def band_weight_at(freqs_hz: np.ndarray, bank: int, n_banks: int,
+                   crossover_low: float, crossover_high: float,
+                   fade_octaves: float = 0.5) -> np.ndarray:
+    """Bank ``bank``'s weight evaluated *analytically* at arbitrary
+    frequencies (the same partition of unity as :func:`band_weights`,
+    which evaluates it on the display rows)."""
+    return band_weights(freqs_hz, tuple(range(n_banks)) if n_banks else (),
+                        crossover_low, crossover_high, fade_octaves)[bank]
+
+
 def merge_columns(bank_specs: tuple, tables: MergeTables) -> jnp.ndarray:
     """Merge per-bank spectra (..., K_b) → one log-f raster column (..., rows).
 

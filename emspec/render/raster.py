@@ -14,7 +14,7 @@ import numpy as np
 from emspec.config import MODE_ENHANCED, Settings
 from emspec.dsp.reassign import reassigned_spectrogram
 from emspec.dsp.stft import power_spectrogram
-from emspec.post.chain import PostParams, PostState, postprocess_column
+from emspec.post.chain import PostParams, PostState, postprocess_batch
 from emspec.post.colormap import apply_lut, lut
 
 
@@ -31,17 +31,13 @@ def analyze(x: jnp.ndarray, s: Settings) -> jnp.ndarray:
 
 
 def postprocess(power_tk: jnp.ndarray, freqs_hz: np.ndarray, s: Settings) -> jnp.ndarray:
-    """Batch post chain: scan the per-column chain over time (identical
-    state evolution to the streaming driver — SURVEY.md §4.4)."""
+    """Batch post chain (bit-identical state evolution to the streaming
+    driver — SURVEY.md §4.4; see emspec.post.chain.postprocess_batch)."""
     p = PostParams.from_settings(s, freqs_hz)
     state = PostState.init(power_tk.shape[:-2] + (power_tk.shape[-1],))
-
-    def step(st, col):
-        out, st = postprocess_column(col, st, p)
-        return st, out
-
-    _, vis = jax.lax.scan(step, state, jnp.swapaxes(power_tk, 0, -2)
-                          if power_tk.ndim > 2 else power_tk)
+    cols_first = (jnp.swapaxes(power_tk, 0, -2)
+                  if power_tk.ndim > 2 else power_tk)
+    vis, _ = postprocess_batch(cols_first, state, p, s.agc_global)
     return vis
 
 

@@ -213,8 +213,9 @@ def multires_enhanced(x, sizes, hop, rows, sample_rate, f_min, zoom,
         h, th, dh = windows(n)
         k_count = n // 2 + 1
         bin_f = np.arange(k_count) * (sample_rate / n)
-        bw_bins = np.interp(bin_f, row_freqs, bw_rows[b],
-                            left=bw_rows[b][0], right=bw_rows[b][-1])
+        # band weight per source bin, evaluated analytically at the bin
+        # frequency (the spec; zoom-independent, exactly zero out of band)
+        bw_bins = band_weights(bin_f, sizes, crossover_low, crossover_high)[b]
         for t in range(t_count):
             frame = x[off + t * hop: off + t * hop + n]
             X_h = np.fft.rfft(frame * h)
