@@ -1,9 +1,6 @@
 """Application-controller tests: the settings-change call stack of
 SURVEY.md §3.3 (continuous vs structural), presets, M4L pause, hover."""
 
-import numpy as np
-import pytest
-
 from emspec.app import EmSpecApp
 from emspec.config import Settings
 from emspec.integrations import live_state
@@ -90,3 +87,18 @@ def test_scroll_speed_is_continuous(tmp_path):
     app = _app(tmp_path)
     assert app.set(scroll_speed=2.0) == "continuous"
     assert app.waterfall.scroll_speed == 2.0
+
+
+def test_hover_tracks_continuous_freq_scale(tmp_path):
+    """Freq Scale is a continuous slider; the hover readout must follow
+    the zoom without a pipeline rebuild."""
+    app = _app(tmp_path, raster_height=256)
+    top_before = app.hover(255)
+    assert app.set(freq_scale=2.0) == "continuous"
+    top_after = app.hover(255)
+    assert top_before != top_after
+    # zoomed top row frequency = geometric mean of the full span
+    import math
+    f = float(top_after.split(" ")[0])
+    expect = math.sqrt(app.settings.freq_min * app.settings.freq_max)
+    assert abs(f / expect - 1) < 0.01

@@ -83,7 +83,6 @@ def test_pipeline_batch_scatter_backends_agree():
 def test_pipeline_stream_scatter_backends_agree():
     from emspec.config import Settings
     from emspec.pipeline import Pipeline
-    from emspec.post.chain import PostState
     from emspec.io import synth
 
     base = dict(mode="enhanced", multires=True, multires_sizes=(1024, 512),

@@ -10,7 +10,6 @@ from emspec.dsp.reassign import (
     reassigned_spectrogram, reassignment_corrections,
 )
 from emspec.dsp.stft import stft_triple
-from emspec.dsp.frame import num_frames
 from emspec.io import synth
 
 import oracle
