@@ -37,6 +37,12 @@ def __getattr__(name):
     if name == "Waterfall":
         from emspec.render.waterfall import Waterfall
         return Waterfall
+    if name == "EmSpecApp":
+        from emspec.app import EmSpecApp
+        return EmSpecApp
+    if name == "ShardedPipeline":
+        from emspec.parallel import ShardedPipeline
+        return ShardedPipeline
     raise AttributeError(f"module 'emspec' has no attribute {name!r}")
 
 

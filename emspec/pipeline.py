@@ -201,6 +201,12 @@ class Pipeline:
                 frames_list, self.sizes, p.band_bins, self.k_slices):
             if self.settings.fft_method == "stencil":
                 X = stft_triple_stencil(frames, self.fft_impl)
+            elif jax.default_backend() == "tpu":
+                # direct method on TPU: fused Pallas triple-window kernel
+                # (one frame read, three windowed writes) feeding the rfft
+                from emspec.dsp.pallas.window import windowed_frames
+                Xs = jnp.fft.rfft(windowed_frames(frames), axis=-1)
+                X = (Xs[0], Xs[1], Xs[2])
             else:
                 w3 = jnp.asarray(window_triple(n))
                 shaped = w3.reshape((3,) + (1,) * (frames.ndim - 1) + (n,))
