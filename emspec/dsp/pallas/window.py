@@ -41,6 +41,9 @@ def windowed_frames(frames: jnp.ndarray, t_tile: int = 128,
     Matches ``frames[None] * window_triple(N).reshape(3, 1, N)`` exactly
     (same float32 multiply), parity-tested in tests/test_pallas.py.
     """
+    if frames.ndim == 1:
+        # streaming passes single windows (n,) — the frame axis is optional
+        return windowed_frames(frames[None, :], t_tile, n_tile)[:, 0, :]
     n = frames.shape[-1]
     lead = frames.shape[:-2]
     t = frames.shape[-2]

@@ -201,16 +201,21 @@ class Pipeline:
                 frames_list, self.sizes, p.band_bins, self.k_slices):
             if self.settings.fft_method == "stencil":
                 X = stft_triple_stencil(frames, self.fft_impl)
-            elif jax.default_backend() == "tpu":
-                # direct method on TPU: fused Pallas triple-window kernel
-                # (one frame read, three windowed writes) feeding the rfft
-                from emspec.dsp.pallas.window import windowed_frames
-                Xs = jnp.fft.rfft(windowed_frames(frames), axis=-1)
-                X = (Xs[0], Xs[1], Xs[2])
             else:
-                w3 = jnp.asarray(window_triple(n))
-                shaped = w3.reshape((3,) + (1,) * (frames.ndim - 1) + (n,))
-                Xs = jnp.fft.rfft(frames[None, ...] * shaped, axis=-1)
+                if jax.default_backend() == "tpu":
+                    # direct method on TPU: fused Pallas triple-window
+                    # kernel (one frame read, three windowed writes)
+                    from emspec.dsp.pallas.window import windowed_frames
+                    windowed = windowed_frames(frames)
+                else:
+                    w3 = jnp.asarray(window_triple(n))
+                    shaped = w3.reshape((3,) + (1,) * (frames.ndim - 1) + (n,))
+                    windowed = frames[None, ...] * shaped
+                if self.fft_impl == "fourstep":
+                    from emspec.dsp.fourstep import rfft_fourstep
+                    Xs = rfft_fourstep(windowed)
+                else:
+                    Xs = jnp.fft.rfft(windowed, axis=-1)
                 X = (Xs[0], Xs[1], Xs[2])
             # slice to the bank's band support (zero weight outside):
             # corrections + scatter skip the dead bins entirely

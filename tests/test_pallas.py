@@ -121,3 +121,14 @@ def test_windowed_frames_parity(shape):
                                          t_tile=16, n_tile=512))
     assert got.shape == (3,) + shape
     np.testing.assert_allclose(got, want, atol=0)   # identical f32 multiply
+
+def test_windowed_frames_1d_streaming_shape():
+    """Streaming passes single windows (n,) — the kernel must accept the
+    optional frame axis (regression: crashed the TPU direct-mode stream)."""
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal(512).astype(np.float32)
+    with _interp():
+        got = np.asarray(windowed_frames(jnp.asarray(w), t_tile=8, n_tile=512))
+    want = w[None] * window_triple(512)
+    assert got.shape == (3, 512)
+    np.testing.assert_allclose(got, want, atol=0)

@@ -234,3 +234,16 @@ def test_live_state_pauses_stream(tmp_path):
     live_state.write_state(p, "restored")
     w.poll()
     assert len(st.push(synth.tone(440.0, 0.1, SR))) > 0
+
+
+@pytest.mark.parametrize("fft_method", ["direct", "stencil"])
+def test_streaming_equals_batch_direct_method(fft_method):
+    """Both FFT formulations must hold the streaming == batch contract
+    (regression: the direct path once diverged to a TPU-only kernel with
+    no streaming coverage)."""
+    s = _settings(mode="enhanced", fft_method=fft_method)
+    x = synth.chirp(150.0, 6000.0, 0.15, SR)
+    from emspec.pipeline import Pipeline
+    vis_b, _, _ = Pipeline(s).process(x)
+    vis_s, _ = stream_signal(x, s, chunk=900)
+    np.testing.assert_allclose(vis_s, np.asarray(vis_b), atol=1e-6)
