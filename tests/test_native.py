@@ -10,7 +10,7 @@ import pytest
 
 from emspec.native import lib as native
 from emspec.io.ring import RingBuffer
-from emspec.io.wav import read_wav as read_wav_py, write_wav
+from emspec.io.wav import _read_wav_py as read_wav_py, write_wav
 from emspec.dsp.frame import frame_signal_np
 from emspec.io import synth
 
@@ -99,6 +99,27 @@ def test_wav_parity(tmp_path, channels):
     ref, rate_p = read_wav_py(p)
     assert rate_n == rate_p == 48_000
     np.testing.assert_array_equal(nat, ref)
+
+
+def test_wav_24bit_parity(tmp_path):
+    """24-bit PCM path of both decoders (hand-built file; write_wav only
+    emits 16-bit)."""
+    import struct
+    rng = np.random.default_rng(5)
+    x = (rng.uniform(-1, 1, 200) * 0.9)
+    pcm24 = np.clip((x * 8388607).round(), -8388608, 8388607).astype(np.int64)
+    body = b"".join(struct.pack("<i", int(v))[:3] for v in pcm24)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 48000,
+                                   48000 * 3, 3, 24)
+           + b"data" + struct.pack("<I", len(body)))
+    p = tmp_path / "t24.wav"
+    p.write_bytes(hdr + body)
+    nat, rate_n = native.read_wav(p)
+    ref, rate_p = read_wav_py(p)
+    assert rate_n == rate_p == 48000
+    np.testing.assert_allclose(nat, ref, atol=0)
+    np.testing.assert_allclose(nat[0], pcm24 / 8388608.0, atol=1e-7)
 
 
 def test_wav_rejects_garbage(tmp_path):
