@@ -26,20 +26,26 @@ def _add_settings_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--smoothing", type=float, default=0.0)
     p.add_argument("--low-end-boost", type=float, default=3.9)
     p.add_argument("--freq-scale", type=float, default=1.0)
-    p.add_argument("--multires", action="store_true",
-                   help="enhanced low-end: 8192/2048/512 banks on a log-frequency axis")
+    p.add_argument("--multires", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="enhanced low-end: 8192/2048/512 banks on a "
+                        "log-frequency axis (default: off for render, on "
+                        "for stream/live; --no-multires to force off)")
     p.add_argument("--hop", type=int, default=0, help="hop in samples (0 = fft_size/4)")
 
 
-def _settings_from(args, sample_rate: int, channels: int = 1):
+def _settings_from(args, sample_rate: int, channels: int = 1,
+                   multires_default: bool = False):
     from emspec.config import Settings
+    multires = (args.multires if args.multires is not None
+                else multires_default)
     return Settings(
         fft_size=args.fft_size, mode=args.mode, colormap=args.colormap,
         db_range=args.db_range, gain=args.gain, brightness=args.brightness,
         noise_gate_db=args.noise_gate_db, agc_strength=args.agc_strength,
         auto_gain=not args.no_auto_gain, smoothing=args.smoothing,
         low_end_boost=args.low_end_boost, freq_scale=args.freq_scale,
-        multires=args.multires, hop=args.hop,
+        multires=multires, hop=args.hop,
         sample_rate=sample_rate, channels=channels,
     )
 
@@ -72,7 +78,7 @@ def cmd_stream(args) -> int:
     from emspec.stream import Stream
 
     audio, rate = read_wav(args.input)
-    s = _settings_from(args, rate).replace(multires=True)
+    s = _settings_from(args, rate, multires_default=True)
     stream = Stream(s)
     wf = Waterfall(args.width, s.raster_height, s.scroll_speed)
     x = audio[args.channel]
@@ -94,9 +100,9 @@ def cmd_live(args) -> int:
     from emspec.io.wav import read_wav
     from emspec.render.terminal import live_view
 
-    _, rate = read_wav(args.input)
-    s = _settings_from(args, rate).replace(multires=True)
-    n = live_view(args.input, s, width=args.width, realtime=not args.fast)
+    audio, rate = read_wav(args.input)    # decoded once, passed through
+    s = _settings_from(args, rate, multires_default=True)
+    n = live_view((audio, rate), s, width=args.width, realtime=not args.fast)
     print(f"\ndisplayed {n} columns")
     return 0
 

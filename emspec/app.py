@@ -60,7 +60,10 @@ class EmSpecApp:
         self.watcher.poll()
         cols = self.stream.push(samples)
         for c in cols:
-            self.waterfall.add_column(c.rgba)
+            # multichannel streams display channel 0 (the reference is a
+            # single-view app; per-channel views would each take one slice)
+            self.waterfall.add_column(
+                c.rgba if c.rgba.ndim == 2 else c.rgba[0])
         return len(cols)
 
     def image(self) -> np.ndarray:

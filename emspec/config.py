@@ -152,6 +152,10 @@ STRUCTURAL_FIELDS = frozenset({
     "fft_size", "sample_rate", "channels", "mode", "multires",
     "multires_sizes", "raster_height", "raster_width", "hop", "agc_global",
     "scatter", "fft_method", "fft_impl",
+    # analysis-geometry knobs: they shape the precomputed merge tables and
+    # the per-bank band-support slices, so changing them re-specializes
+    # (freq_scale zoom stays continuous — support is zoom-independent)
+    "freq_min", "crossover_low", "crossover_high",
 })
 
 

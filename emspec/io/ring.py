@@ -69,11 +69,17 @@ class RingBuffer:
         lo = start_abs % self.capacity
         hi = lo + n
         if hi <= self.capacity:
-            return self._buf[:, lo:hi].copy()
-        out = np.empty((self.channels, n), self._buf.dtype)
-        first = self.capacity - lo
-        out[:, :first] = self._buf[:, lo:]
-        out[:, first:] = self._buf[:, :hi - self.capacity]
+            out = self._buf[:, lo:hi].copy()
+        else:
+            out = np.empty((self.channels, n), self._buf.dtype)
+            first = self.capacity - lo
+            out[:, :first] = self._buf[:, lo:]
+            out[:, first:] = self._buf[:, :hi - self.capacity]
+        # seqlock-style re-validation: if a concurrent producer lapped us
+        # mid-copy the data is torn — detect it rather than return garbage
+        # (same contract as the C++ ring)
+        if start_abs < self.total_written - self.capacity:
+            raise ValueError("window no longer in the ring (overrun)")
         return out
 
     def latest(self, n: int) -> np.ndarray:

@@ -60,6 +60,8 @@ class PipelineParams(NamedTuple):
     w0: tuple                        # (rows,) float32
     band_rows: tuple                 # (rows,) float32 band weight per row
     band_bins: tuple                 # (K_b,) float32 band weight per source bin
+    power_floor: jnp.ndarray         # scalar: drop |X_h|^2 below this
+                                     # (Settings.reassign_floor_db)
 
 
 def _row_map_consts(tables: MergeTables, rows: int):
@@ -161,6 +163,7 @@ class Pipeline:
             w0=tuple(jnp.asarray(w) for w in tables.w0),
             band_rows=tuple(jnp.asarray(w) for w in tables.band_w),
             band_bins=tuple(jnp.asarray(w) for w in band_bins),
+            power_floor=jnp.float32(10.0 ** (s.reassign_floor_db / 10.0)),
         )
 
     # ---------------- analysis ----------------
@@ -227,7 +230,7 @@ class Pipeline:
             row_f = (jnp.log2(jnp.maximum(f_hat, 1e-6)) - p.logmap_a) * p.logmap_b
             row = jnp.round(row_f).astype(jnp.int32)
             valid = (
-                (power > 1e-12)
+                (power > p.power_floor)
                 & (row >= 0) & (row < self.rows)
                 & (f_hat > 0)
                 & (jnp.abs(dt) <= float(n))
@@ -249,23 +252,19 @@ class Pipeline:
 
     def _scatter_segment_sum(self, rows_i, delta, contrib, t_count, lead):
         """Correctness-baseline scatter: one flattened segment_sum over the
-        absolute (t, rows) grid."""
+        absolute (t, rows) grid (shared histogram_reference formulation —
+        the quantization contract lives in exactly one place per backend)."""
+        from emspec.dsp.pallas.scatter import histogram_reference
+
         t_idx = jnp.arange(t_count, dtype=jnp.int32)[:, None]
         col = t_idx + delta
-        mask = (col >= 0) & (col < t_count)
-        contrib = jnp.where(mask, contrib, 0.0)
-        ids = jnp.clip(col, 0, t_count - 1) * self.rows + rows_i
-
-        def one(ids1, vals1):
-            out = jax.ops.segment_sum(vals1.reshape(-1), ids1.reshape(-1),
-                                      num_segments=t_count * self.rows)
-            return out.reshape(t_count, self.rows)
-
-        if lead:
-            flat = (-1,) + ids.shape[-2:]
-            out = jax.vmap(one)(ids.reshape(flat), contrib.reshape(flat))
-            return out.reshape(lead + (t_count, self.rows))
-        return one(ids, contrib)
+        ids = jnp.where((col >= 0) & (col < t_count),
+                        col * self.rows + rows_i, -1)
+        flat_ids = ids.reshape(lead + (-1,)) if lead else ids.reshape(-1)
+        flat_vals = (contrib.reshape(lead + (-1,)) if lead
+                     else contrib.reshape(-1))
+        out = histogram_reference(flat_ids, flat_vals, t_count * self.rows)
+        return out.reshape(lead + (t_count, self.rows))
 
     def _scatter_pallas(self, rows_i, delta, contrib, t_count):
         """TPU fast path: per-frame *relative* histograms on the MXU
@@ -347,26 +346,21 @@ class Pipeline:
                 dep = jnp.moveaxis(hist, -2, 0)                 # (P, ..., rows)
                 dep = jnp.roll(dep, t - R_, axis=0)
             else:
+                from emspec.dsp.pallas.scatter import histogram_reference
                 slot = jnp.mod(t + delta, P)
                 ids = slot * self.rows + rows_i
-
-                def one(ids1, vals1):
-                    return jax.ops.segment_sum(
-                        vals1, ids1, num_segments=P * self.rows
-                    ).reshape(P, self.rows)
-
-                if lead:
-                    b = int(np.prod(lead))
-                    dep = jax.vmap(one)(ids.reshape((b, -1)),
-                                        contrib.reshape((b, -1)))   # (b, P, rows)
-                    dep = jnp.moveaxis(dep.reshape(lead + (P, self.rows)), -2, 0)
-                else:
-                    dep = one(ids, contrib)
+                dep = histogram_reference(ids, contrib, P * self.rows)
+                dep = dep.reshape(dep.shape[:-1] + (P, self.rows))
+                dep = jnp.moveaxis(dep, -2, 0)          # (P, ..., rows)
             acc = acc + dep
         else:
             specs = []
             for win, n in zip(self._bank_windows(window), self.sizes):
-                X = jnp.fft.rfft(win * jnp.asarray(hann(n)), axis=-1)
+                if self.fft_impl == "fourstep":
+                    from emspec.dsp.fourstep import rfft_fourstep
+                    X = rfft_fourstep(win * jnp.asarray(hann(n)))
+                else:
+                    X = jnp.fft.rfft(win * jnp.asarray(hann(n)), axis=-1)
                 specs.append((X.real**2 + X.imag**2).astype(jnp.float32))
             tables = MergeTables(self.row_freqs,
                                  tuple(p.i0), tuple(p.w0), tuple(p.band_rows))

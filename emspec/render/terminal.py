@@ -49,11 +49,13 @@ def frame_to_ansi(img: np.ndarray, cols: int | None = None,
     return "\n".join(out)
 
 
-def live_view(wav_path: str, settings, width: int = 512,
+def live_view(source, settings, width: int = 512,
               realtime: bool = True, out=sys.stdout) -> int:
-    """Stream a WAV through the real-time path, painting the scrolling
+    """Stream audio through the real-time path, painting the scrolling
     waterfall to the terminal at (approximately) audio rate.
 
+    ``source`` is a WAV path or an already-decoded ``(audio, rate)`` pair
+    (so callers that sniffed the file don't decode it twice).
     Returns the number of columns displayed."""
     import time
 
@@ -61,7 +63,10 @@ def live_view(wav_path: str, settings, width: int = 512,
     from emspec.render.waterfall import Waterfall
     from emspec.stream import Stream
 
-    audio, rate = read_wav(wav_path)
+    if isinstance(source, tuple):
+        audio, rate = source
+    else:
+        audio, rate = read_wav(source)
     s = settings.replace(sample_rate=rate)
     stream = Stream(s)
     wf = Waterfall(width, s.raster_height, s.scroll_speed)

@@ -42,6 +42,11 @@ class Waterfall:
     def add_column(self, rgba_column: jax.Array) -> None:
         """rgba_column: (rows, 4) uint8 (device). Paints 0+ pixel columns
         according to scroll speed; stays on device."""
+        if rgba_column.ndim != 2:
+            raise ValueError(
+                f"add_column expects one (rows, 4) column, got shape "
+                f"{rgba_column.shape} — for multichannel streams pass one "
+                f"channel (e.g. col.rgba[ch])")
         self._phase += self.scroll_speed
         steps = int(self._phase)
         self._phase -= steps

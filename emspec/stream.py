@@ -57,6 +57,7 @@ class Stream:
         self._last_col = None       # underrun repaint contract (SURVEY 5.3)
         self._next_frame = 0        # next hop index to analyze
         self._paused = False
+        self._finished = False
         # the pipeline's canonical donated-carry executable (shared with
         # prewarm(), so a pre-warmed size switch never stalls)
         self._step = self.pipe._stream_jit
@@ -78,6 +79,9 @@ class Stream:
         While paused the ring still fills (so no audio is lost on short
         pauses) but no analysis runs — matching the reference's minimized
         behavior [INF from MAX-FOR-LIVE.md window sync]."""
+        if self._finished:
+            raise RuntimeError(
+                "stream already flushed; create a new Stream to continue")
         self.ring.push(samples)
         if self._paused:
             return []
@@ -94,7 +98,10 @@ class Stream:
     def flush(self) -> list[Column]:
         """Emit the R pending columns at stream end (zero-padded hops).
         After ``flush`` the streamed columns 0..T-1 equal the batch
-        ``Pipeline.process`` output exactly."""
+        ``Pipeline.process`` output exactly — and the stream is finished:
+        further ``push`` raises (the zero-hops already advanced the
+        carry, so resumed columns would be index-shifted)."""
+        self._finished = True
         out = []
         zero = np.zeros(self._lead + (self.pipe.n_max,), np.float32)
         for _ in range(self.pipe.reach):
@@ -160,6 +167,10 @@ def stream_signal(x: np.ndarray, settings: Settings,
     for i in range(0, x.shape[-1], chunk):
         cols.extend(st.push(x[..., i:i + chunk]))
     cols.extend(st.flush())
+    if not cols:
+        raise ValueError(
+            f"signal too short: need at least {st.pipe.n_max} samples for "
+            f"one analysis window, got {x.shape[-1]}")
     cols.sort(key=lambda c: c.index)
     vis = np.stack([np.asarray(c.vis) for c in cols])
     rgba = np.stack([np.asarray(c.rgba) for c in cols])

@@ -102,3 +102,20 @@ def test_hover_tracks_continuous_freq_scale(tmp_path):
     f = float(top_after.split(" ")[0])
     expect = math.sqrt(app.settings.freq_min * app.settings.freq_max)
     assert abs(f / expect - 1) < 0.01
+
+
+def test_multichannel_app_displays_channel_zero(tmp_path):
+    import numpy as np
+    app = _app(tmp_path, channels=2)
+    x = np.stack([synth.tone(440.0, 0.15, SR), synth.tone(880.0, 0.15, SR)])
+    assert app.push_audio(x) > 0
+    img = app.image()
+    assert img.shape == (64, 32, 4)
+
+
+def test_crossover_change_is_structural(tmp_path):
+    """crossovers shape the band-support slices — must re-specialize
+    (regression: stale slices left a dark notch in the crossfade)."""
+    app = _app(tmp_path)
+    assert app.set(crossover_low=500.0) == "structural"
+    assert app.set(freq_min=40.0) == "structural"

@@ -80,3 +80,25 @@ def test_preset_store_corrupt_falls_back(tmp_path):
     p.write_text("{not json")
     store = PresetStore(p)  # must not raise (SURVEY.md §5.3)
     assert store.names() == ["Default"]
+
+
+def test_reassign_floor_db_is_wired():
+    """The documented knob must actually gate deposits (it was once dead)."""
+    import numpy as np
+    from emspec.pipeline import Pipeline
+    from emspec.io import synth
+    s = Settings(mode="enhanced", multires=False, fft_size=1024, hop=256,
+                 raster_height=128, auto_gain=False)
+    x = synth.tone(440.0, 0.1, 48_000, amplitude=0.1)
+    lo = Pipeline(s)                                      # floor -120 dB
+    p_lo = np.asarray(lo.process(x)[0])
+    # same compiled step, different continuous param: floor ABOVE the
+    # tone's |X_h|^2 (~655 here) kills every deposit
+    params_hi = lo.params(s.replace(reassign_floor_db=40.0))
+    import jax
+    from emspec.post.chain import PostState
+    vis, _, _ = lo._batch_jit(jax.numpy.asarray(x), params_hi,
+                              PostState.init((lo.rows,)),
+                              lo.num_columns(len(x)))
+    assert p_lo.max() > 0
+    assert float(np.asarray(vis).max()) == 0.0            # everything dropped

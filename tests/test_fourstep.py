@@ -85,3 +85,13 @@ def test_fourstep_rejects_unsupported_size():
     s2 = _base(multires_sizes=(768,), fft_impl="fourstep")
     with pytest.raises((ValueError, KeyError)):
         _ = Pipeline(s2).fft_impl
+
+def test_fourstep_streaming_equals_batch_natural():
+    """Regression: the natural-mode stream step once ignored fft_impl and
+    silently diverged from the batch path under fourstep."""
+    s = _base(mode="natural", fft_impl="fourstep", smoothing=0.3)
+    x = synth.multitone([300.0, 3000.0], 0.15)
+    pipe = Pipeline(s)
+    vis_b, _, _ = pipe.process(x)
+    vis_s, _ = stream_signal(x, s, chunk=640)
+    np.testing.assert_allclose(vis_s, np.asarray(vis_b), atol=2e-4)

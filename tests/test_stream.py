@@ -247,3 +247,27 @@ def test_streaming_equals_batch_direct_method(fft_method):
     vis_b, _, _ = Pipeline(s).process(x)
     vis_s, _ = stream_signal(x, s, chunk=900)
     np.testing.assert_allclose(vis_s, np.asarray(vis_b), atol=1e-6)
+
+
+def test_push_after_flush_raises():
+    """flush() ends the stream (the zero-hops advanced the carry); pushing
+    more audio must fail loudly instead of emitting index-shifted columns."""
+    s = _settings(mode="enhanced")
+    st = Stream(s)
+    st.push(synth.tone(440.0, 0.1, SR))
+    st.flush()
+    with pytest.raises(RuntimeError, match="flushed"):
+        st.push(synth.tone(440.0, 0.05, SR))
+
+
+def test_stream_signal_too_short_is_clear():
+    s = _settings(mode="enhanced")
+    with pytest.raises(ValueError, match="signal too short"):
+        stream_signal(synth.tone(440.0, 0.01, SR), s)
+
+
+def test_waterfall_rejects_multichannel_column():
+    import jax.numpy as jnp
+    wf = Waterfall(width=4, rows=8)
+    with pytest.raises(ValueError, match="one .rows, 4. column"):
+        wf.add_column(jnp.zeros((2, 8, 4), jnp.uint8))
