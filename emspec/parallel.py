@@ -80,6 +80,7 @@ class ShardedPipeline:
         if t_count <= 0:
             raise ValueError(f"need at least {self.pipe.n_max} samples")
         xd = jax.device_put(x, self._sh_x)
-        p = jax.device_put(params or self.pipe.params(), self._repl)
+        p = jax.device_put(params or self.pipe.params(self.settings),
+                           self._repl)
         st = state if state is not None else self.init_state()
         return self._step(xd, p, st, t_count=t_count)

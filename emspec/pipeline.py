@@ -176,16 +176,21 @@ class Pipeline:
             out.append(frame_signal(x[..., off:end], n, self.hop))
         return out
 
+    def _bank_power(self, frames: jnp.ndarray, n: int) -> jnp.ndarray:
+        """Hann |X|^2 of one bank's frames/window — the single definition
+        both the batch and streaming natural paths share (so they cannot
+        silently diverge)."""
+        w = jnp.asarray(hann(n))
+        if self.fft_impl == "fourstep":
+            from emspec.dsp.fourstep import rfft_fourstep
+            X = rfft_fourstep(frames * w)
+        else:
+            X = jnp.fft.rfft(frames * w, axis=-1)
+        return (X.real**2 + X.imag**2).astype(jnp.float32)
+
     def _natural_power(self, x, t_count, p: PipelineParams):
-        specs = []
-        for frames, n in zip(self._bank_frames(x, t_count), self.sizes):
-            w = jnp.asarray(hann(n))
-            if self.fft_impl == "fourstep":
-                from emspec.dsp.fourstep import rfft_fourstep
-                X = rfft_fourstep(frames * w)
-            else:
-                X = jnp.fft.rfft(frames * w, axis=-1)
-            specs.append((X.real**2 + X.imag**2).astype(jnp.float32))
+        specs = [self._bank_power(frames, n)
+                 for frames, n in zip(self._bank_frames(x, t_count), self.sizes)]
         tables = MergeTables(self.row_freqs,
                              tuple(p.i0), tuple(p.w0), tuple(p.band_rows))
         return merge_columns(tuple(specs), tables)          # (..., t, rows)
@@ -284,10 +289,15 @@ class Pipeline:
         for j in range(P):                                     # static offsets
             dlt = j - R
             seg = hist[..., j, :]                              # (t, ..., rows)
+            # overlap of [dlt, dlt+t) with [0, t): empty when |dlt| >= t
+            # (short signals with t_count <= R — clamp, don't crash)
+            span = t_count - abs(dlt)
+            if span <= 0:
+                continue
             if dlt >= 0:
-                out = out.at[dlt:].add(seg[:t_count - dlt] if dlt else seg)
+                out = out.at[dlt:dlt + span].add(seg[:span])
             else:
-                out = out.at[:t_count + dlt].add(seg[-dlt:])
+                out = out.at[:span].add(seg[-dlt:-dlt + span])
         return jnp.moveaxis(out, 0, -2)                        # (..., t, rows)
 
     # ---------------- full batch path ----------------
@@ -354,14 +364,8 @@ class Pipeline:
                 dep = jnp.moveaxis(dep, -2, 0)          # (P, ..., rows)
             acc = acc + dep
         else:
-            specs = []
-            for win, n in zip(self._bank_windows(window), self.sizes):
-                if self.fft_impl == "fourstep":
-                    from emspec.dsp.fourstep import rfft_fourstep
-                    X = rfft_fourstep(win * jnp.asarray(hann(n)))
-                else:
-                    X = jnp.fft.rfft(win * jnp.asarray(hann(n)), axis=-1)
-                specs.append((X.real**2 + X.imag**2).astype(jnp.float32))
+            specs = [self._bank_power(win, n)
+                     for win, n in zip(self._bank_windows(window), self.sizes)]
             tables = MergeTables(self.row_freqs,
                                  tuple(p.i0), tuple(p.w0), tuple(p.band_rows))
             col = merge_columns(tuple(specs), tables)       # (..., rows)
@@ -386,23 +390,36 @@ class Pipeline:
                 PostState.init(lead + (self.rows,)))
 
     # ---------------- hover readout (SURVEY.md §3.5) ----------------
-    def frequency_at_row(self, row: int) -> float:
-        """Display row (0 = bottom/bass) → center frequency in Hz —
-        the inverse of the log-frequency axis, respecting Freq Scale."""
-        return float(self.row_freqs[row])
+    def _axis(self, freq_scale: float | None) -> np.ndarray:
+        """Row-frequency axis at the given zoom.  Freq Scale is a
+        *continuous* slider: pass the current value (the construction-time
+        ``self.row_freqs`` reflects only the zoom the Pipeline was built
+        with; the display itself follows params())."""
+        if freq_scale is None or freq_scale == self.settings.freq_scale:
+            return self.row_freqs
+        from emspec.dsp.multires import log_freq_axis
+        s = self.settings
+        return log_freq_axis(self.rows, s.freq_min, s.sample_rate / 2.0,
+                             freq_scale)
 
-    def row_of_frequency(self, freq_hz: float) -> int:
+    def frequency_at_row(self, row: int, freq_scale: float | None = None) -> float:
+        """Display row (0 = bottom/bass) → center frequency in Hz —
+        the inverse of the log-frequency axis at the given zoom."""
+        return float(self._axis(freq_scale)[row])
+
+    def row_of_frequency(self, freq_hz: float,
+                         freq_scale: float | None = None) -> int:
         """Nearest display row for a frequency (hover inverse map)."""
-        f = self.row_freqs
+        f = self._axis(freq_scale)
         r = (np.log2(max(freq_hz, 1e-9)) - np.log2(f[0])) \
             / (np.log2(f[-1]) - np.log2(f[0])) * (self.rows - 1)
         return int(np.clip(round(r), 0, self.rows - 1))
 
-    def describe_row(self, row: int) -> str:
+    def describe_row(self, row: int, freq_scale: float | None = None) -> str:
         """The Shift+hover tooltip text for a display row
         (reference: README.md:39 'note and frequency information')."""
         from emspec.utils.notes import describe_frequency
-        return describe_frequency(self.frequency_at_row(row))
+        return describe_frequency(self.frequency_at_row(row, freq_scale))
 
     def process(self, x, params: PipelineParams | None = None,
                 state: PostState | None = None):
@@ -422,16 +439,33 @@ class Pipeline:
         return self._batch_jit(x, p, st, t_count)
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=16)
 def _cached_pipeline(settings: Settings) -> Pipeline:
     return Pipeline(settings)
 
 
+def _structural_projection(s: Settings) -> Settings:
+    """Settings with every continuous field reset to its default — the
+    cache key.  Two Settings that differ only in sliders share one
+    compiled Pipeline (otherwise a gain tweak before an FFT-size switch
+    would miss the prewarm()ed executable and stall the live stream for a
+    full compile)."""
+    from emspec.config import STRUCTURAL_FIELDS
+    defaults = Settings()
+    import dataclasses
+    cont = {f.name: getattr(defaults, f.name)
+            for f in dataclasses.fields(Settings)
+            if f.name not in STRUCTURAL_FIELDS}
+    return s.replace(**cont)
+
+
 def get_pipeline(settings: Settings) -> Pipeline:
-    """Pipeline cache keyed by (frozen) Settings — pre-warming the dropdown's
-    FFT-size set amounts to calling this for each size (SURVEY.md §7 hard
-    part 3)."""
-    return _cached_pipeline(settings)
+    """Pipeline cache keyed by the *structural* projection of Settings —
+    pre-warming the dropdown's FFT-size set amounts to calling this for
+    each size (SURVEY.md §7 hard part 3).  NOTE: the returned Pipeline's
+    ``.settings`` carries default continuous values; always build params
+    with YOUR settings (``pipe.params(settings)``)."""
+    return _cached_pipeline(_structural_projection(settings))
 
 
 def prewarm(base: Settings, sizes: tuple | None = None,
@@ -470,8 +504,13 @@ def prewarm(base: Settings, sizes: tuple | None = None,
 
 
 def render_image_multires(x, settings: Settings) -> np.ndarray:
-    """(samples,) audio → (rows, t, 4) uint8 RGBA log-frequency image."""
+    """Audio → (rows, t, 4) uint8 RGBA log-frequency image.
+
+    Multichannel input renders channel 0 (single-view display, matching
+    the app controller)."""
     pipe = get_pipeline(settings)
-    _, rgba, _ = pipe.process(x)
-    img = np.asarray(rgba)            # (t, rows, 4)
+    _, rgba, _ = pipe.process(x, params=pipe.params(settings))
+    img = np.asarray(rgba)            # (t, [ch,] rows, 4)
+    if img.ndim == 4:
+        img = img[:, 0]
     return img.transpose(1, 0, 2)[::-1]

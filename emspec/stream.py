@@ -47,7 +47,9 @@ class Stream:
         self.channels = s.channels
         lead = (s.channels,) if s.channels > 1 else ()
         self._lead = lead
-        self.params = params or self.pipe.params()
+        # pipe is cached by structural projection; params must come
+        # from THIS stream's settings (sliders live here)
+        self.params = params or self.pipe.params(settings)
         capacity = max(int(ring_seconds * s.sample_rate),
                        self.pipe.n_max + 8 * self.pipe.hop)
         self.ring = make_ring(capacity, s.channels, prefer_native=native_ring)

@@ -108,3 +108,15 @@ def test_trace_context(tmp_path):
     with trace(str(tmp_path)):
         jnp.ones((8, 8)).sum().block_until_ready()
     assert any(tmp_path.rglob("*"))   # profile files written
+
+
+def test_pipeline_cache_ignores_continuous_fields():
+    """Regression: a slider move before a structural switch must still hit
+    the prewarmed Pipeline (the cache keys on the structural projection)."""
+    base = _settings(mode="enhanced")
+    a = get_pipeline(base)
+    b = get_pipeline(base.replace(gain=9.0, colormap="viridis",
+                                  brightness=0.8, freq_scale=1.5))
+    assert a is b
+    c = get_pipeline(base.replace(fft_size=1024, multires=False))
+    assert c is not a

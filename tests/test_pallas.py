@@ -132,3 +132,24 @@ def test_windowed_frames_1d_streaming_shape():
     want = w[None] * window_triple(512)
     assert got.shape == (3, 512)
     np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_pallas_scatter_short_signal():
+    """Regression: the static shift-add crashed at trace time for
+    2 <= t_count <= R-1 (slice-bound mismatch on short signals)."""
+    from emspec.config import Settings
+    from emspec.pipeline import Pipeline
+    from emspec.io import synth
+
+    s = Settings(mode="enhanced", multires=False, fft_size=1024, hop=256,
+                 raster_height=128, scatter="pallas", auto_gain=False)
+    pipe = Pipeline(s)
+    assert pipe.reach >= 3
+    x = synth.tone(440.0, (pipe.n_max + pipe.hop) / 48_000 + 1e-3)  # t=2
+    with _interp():
+        vis, _, _ = pipe.process(x)
+    assert vis.shape[0] == 2
+    ref = Pipeline(s.replace(scatter="segment_sum"))
+    want, _, _ = ref.process(x)
+    np.testing.assert_allclose(np.asarray(vis), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
