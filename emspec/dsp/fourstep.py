@@ -36,6 +36,7 @@ import numpy as np
 # factorizations: lane-friendly (second factor ≥ first, multiples of 8/128
 # where possible)
 _FACTORS = {
+    256: (16, 16),
     512: (16, 32), 1024: (32, 32), 2048: (32, 64), 4096: (64, 64),
     8192: (64, 128), 16384: (128, 128), 32768: (128, 256),
     65536: (256, 256),
@@ -110,11 +111,39 @@ def fft_fourstep(z_r: jnp.ndarray, z_i: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
 
 
 def rfft_fourstep(x: jnp.ndarray) -> jnp.ndarray:
-    """Real-input DFT → complex64 (..., n//2+1), matching jnp.fft.rfft."""
+    """Real-input DFT → complex64 (..., n//2+1), matching jnp.fft.rfft.
+
+    Classic half-size packing: even/odd samples become real/imag of one
+    N/2-point complex four-step FFT, untangled by the Hermitian split —
+    half the matmul work of a full-N complex transform with zero imag.
+    Per-frame and batch-shape-agnostic in structure (the same caveat as
+    the rest of this module: matmul rounding may differ across batch
+    shapes; the bit-exact engine is fft_impl="xla")."""
     n = x.shape[-1]
-    Xr, Xi = fft_fourstep(x, jnp.zeros_like(x))
-    k = n // 2 + 1
-    return jax.lax.complex(Xr[..., :k], Xi[..., :k])
+    h = n // 2
+    if h not in _FACTORS:                    # n == 512 → h=256 is covered;
+        Xr, Xi = fft_fourstep(x, jnp.zeros_like(x))   # fallback, exact
+        return jax.lax.complex(Xr[..., :h + 1], Xi[..., :h + 1])
+    lead = x.shape[:-1]
+    x2 = x.reshape(lead + (h, 2))
+    Zr, Zi = fft_fourstep(x2[..., 0], x2[..., 1])      # N/2-point complex
+    # Hermitian split at k = 0..N/2 (indices mod N/2)
+    idx = (-np.arange(h + 1)) % h
+    Zr_k = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)  # Z(k), k=0..h
+    Zi_k = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
+    Zr_c = Zr[..., idx]                                 # Re Z(h−k)
+    Zi_c = -Zi[..., idx]                                # Im conj(Z(h−k))
+    Er = 0.5 * (Zr_k + Zr_c)
+    Ei = 0.5 * (Zi_k + Zi_c)
+    Or = 0.5 * (Zi_k - Zi_c)                            # −i(Z−Zc)/2, real part
+    Oi = 0.5 * (Zr_c - Zr_k)
+    # X(k) = E(k) + W_N^k · O(k),  W_N^k = cos − i·sin
+    ang = np.pi * np.arange(h + 1) / h                  # 2πk/N
+    c = jnp.asarray(np.cos(ang).astype(np.float32))
+    s = jnp.asarray(np.sin(ang).astype(np.float32))
+    Xr = Er + c * Or + s * Oi
+    Xi = Ei + c * Oi - s * Or
+    return jax.lax.complex(Xr, Xi)
 
 
 def packed_pair_fft(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -123,11 +123,19 @@ class Pipeline:
 
     @property
     def fft_impl(self) -> str:
-        """Resolved FFT engine ("fourstep" | "xla") — see Settings.fft_impl."""
+        """Resolved FFT engine ("fourstep" | "xla") — see Settings.fft_impl.
+
+        Measured policy (TPU v5e, BENCH.md): the MXU-matmul four-step FFT
+        wins only where the packed stencil transform amortizes over many
+        frames with mixed bank sizes — enhanced multires is 2× faster;
+        natural mode and single-bank configs favor XLA's rfft (small DFT
+        matrices starve the MXU, and rfft is batched-real already)."""
         from emspec.dsp import fourstep
         s = self.settings.fft_impl
         if s == "auto":
             if (jax.default_backend() == "tpu"
+                    and self.settings.mode == MODE_ENHANCED
+                    and len(self.sizes) > 1
                     and all(fourstep.supported(n) for n in self.sizes)):
                 return "fourstep"
             return "xla"
