@@ -11,7 +11,10 @@ never exists in HBM — the kernel streams (ids, vals) chunks in and keeps a
 and the output once.
 
 Grid: ``(B, S_tiles, M_chunks)`` — the output tile is revisited across the
-M_chunks (innermost) dimension and accumulated in place.
+M_chunks (innermost) dimension and accumulated in place.  The default
+s_tile covers the display scatter space (P·rows ≤ 4608) in ONE tile so
+each (ids, vals) chunk streams through VMEM exactly once — measured ~2×
+faster than 1024-wide s-tiles on the stress shape.
 """
 
 from __future__ import annotations
@@ -56,7 +59,7 @@ def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_tile: int):
 
 @functools.partial(jax.jit, static_argnames=("num_bins", "m_chunk", "s_tile"))
 def histogram_matmul(ids: jnp.ndarray, vals: jnp.ndarray, num_bins: int,
-                     m_chunk: int = 1024, s_tile: int = 1024) -> jnp.ndarray:
+                     m_chunk: int = 1024, s_tile: int = 4608) -> jnp.ndarray:
     """Scatter-add ``vals`` into ``num_bins`` cells keyed by ``ids``.
 
     ids:  (..., M) int32 in [0, num_bins) — out-of-range ids contribute
