@@ -114,6 +114,9 @@ def cmd_note(args) -> int:
 
 
 def cmd_presets(args) -> int:
+    """Preset CRUD — the full reference surface (README.md:16
+    "Add/Edit/Delete"): ``add``/``edit`` build a Settings bundle from the
+    same flags as render/stream and persist it."""
     from emspec.config import PresetStore
     store = PresetStore(args.file)
     if args.action == "list":
@@ -123,6 +126,19 @@ def cmd_presets(args) -> int:
         print(json.dumps(store.get(args.name).to_dict(), indent=2, sort_keys=True))
     elif args.action == "delete":
         store.delete(args.name)
+    elif args.action in ("add", "edit"):
+        exists = args.name in store.names()
+        if args.action == "add" and exists:
+            print(f"preset {args.name!r} already exists (use 'edit')",
+                  file=sys.stderr)
+            return 1
+        if args.action == "edit" and not exists:
+            print(f"no preset named {args.name!r} (use 'add')", file=sys.stderr)
+            return 1
+        s = _settings_from(args, args.sample_rate, args.channels,
+                           multires_default=True)
+        store.add(args.name, s)
+        print(f"{args.action}: {args.name} -> {args.file}")
     return 0
 
 
@@ -169,10 +185,13 @@ def main(argv=None) -> int:
     pn.add_argument("freq", type=float)
     pn.set_defaults(fn=cmd_note)
 
-    pp = sub.add_parser("presets", help="preset store CRUD")
-    pp.add_argument("action", choices=["list", "show", "delete"])
+    pp = sub.add_parser("presets", help="preset store CRUD (Add/Edit/Delete)")
+    pp.add_argument("action", choices=["list", "show", "add", "edit", "delete"])
     pp.add_argument("--name", default="Default")
     pp.add_argument("--file", default="presets.json")
+    pp.add_argument("--sample-rate", type=int, default=48_000)
+    pp.add_argument("--channels", type=int, default=1)
+    _add_settings_args(pp)
     pp.set_defaults(fn=cmd_presets)
 
     pb = sub.add_parser("bench", help="run the performance harness")

@@ -112,6 +112,12 @@ class Settings:
             raise ValueError(f"unknown fft_method: {self.fft_method!r}")
         if self.fft_impl not in ("auto", "fourstep", "xla"):
             raise ValueError(f"unknown fft_impl: {self.fft_impl!r}")
+        for n in self.multires_sizes:
+            # power-of-two ≥ 256: every kernel tile policy (Pallas windowing
+            # n_tile, fourstep factorization, frame slice-concat) assumes it
+            if n < 256 or (n & (n - 1)) != 0:
+                raise ValueError(
+                    f"multires_sizes must be powers of two >= 256, got {n}")
 
     # ---- derived quantities ----
     @property

@@ -55,7 +55,9 @@ def windowed_frames(frames: jnp.ndarray, t_tile: int = 128,
     rows_pad = _round_up(b * t, tt)
     if rows_pad != b * t:
         f2 = jnp.pad(f2, ((0, rows_pad - b * t), (0, 0)))
-    nt = min(n_tile, n)      # FFT sizes are powers of two ≥ 512 → n % nt == 0
+    nt = min(n_tile, n)
+    if n % nt:               # guaranteed by Settings validation (powers of
+        nt = n               # two ≥ 256) — but never silently drop a tail
 
     out = pl.pallas_call(
         _kernel,

@@ -30,22 +30,91 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     return _read_wav_py(path)
 
 
+def _fmt_tag(path: str | Path) -> int | None:
+    """RIFF fmt-chunk walk → WAVE format tag (1 = PCM, 3 = IEEE float;
+    WAVE_FORMAT_EXTENSIBLE resolves through the SubFormat GUID), or None
+    if the container can't be parsed.  Mirrors the native decoder's chunk
+    walk so 32-bit PCM vs float32 is decided by the header, not by value
+    sniffing (a PCM32 file whose bytes decode to small finite floats must
+    not be misread as float data)."""
+    import struct
+    try:
+        with open(path, "rb") as f:
+            riff, _size, wave_id = struct.unpack("<4sI4s", f.read(12))
+            if riff != b"RIFF" or wave_id != b"WAVE":
+                return None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    return None
+                cid, csize = struct.unpack("<4sI", hdr)
+                if cid == b"fmt ":
+                    body = f.read(min(csize, 40))
+                    if len(body) < 2:
+                        return None
+                    tag = struct.unpack("<H", body[:2])[0]
+                    if tag == 0xFFFE and len(body) >= 26:
+                        # extensible: real tag = first 2 bytes of SubFormat
+                        tag = struct.unpack("<H", body[24:26])[0]
+                    return tag
+                f.seek(csize + (csize & 1), 1)      # chunks are word-aligned
+    except (OSError, struct.error):
+        return None
+
+
+def _read_wav_manual(path: str | Path) -> tuple[int, int, int, bytes]:
+    """Minimal RIFF parse → (rate, channels, sample_width, data bytes).
+    Handles containers stdlib ``wave`` rejects (IEEE float, extensible)."""
+    import struct
+    with open(path, "rb") as f:
+        riff, _, wave_id = struct.unpack("<4sI4s", f.read(12))
+        if riff != b"RIFF" or wave_id != b"WAVE":
+            raise ValueError(f"{path}: not a RIFF/WAVE file")
+        rate = nch = width = None
+        data = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, csize = struct.unpack("<4sI", hdr)
+            if cid == b"fmt ":
+                body = f.read(csize + (csize & 1))
+                _tag, nch, rate, _bps, _align, bits = struct.unpack(
+                    "<HHIIHH", body[:16])
+                width = bits // 8
+            elif cid == b"data":
+                data = f.read(csize)
+            else:
+                f.seek(csize + (csize & 1), 1)
+        if rate is None or data is None:
+            raise ValueError(f"{path}: missing fmt/data chunk")
+        return rate, nch, width, data
+
+
 def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
-    with wave.open(str(path), "rb") as w:
-        rate = w.getframerate()
-        nch = w.getnchannels()
-        width = w.getsampwidth()
-        nframes = w.getnframes()
-        raw = w.readframes(nframes)
+    try:
+        with wave.open(str(path), "rb") as w:
+            rate = w.getframerate()
+            nch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        # stdlib wave rejects IEEE-float / extensible containers outright
+        rate, nch, width, raw = _read_wav_manual(path)
 
     if width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:
-        # Could be PCM32 or IEEE float32; wave exposes no format tag, so
-        # sniff: valid float32 audio stays within [-4, 4].
-        as_f = np.frombuffer(raw, dtype="<f4")
-        if as_f.size and np.all(np.isfinite(as_f)) and np.abs(as_f).max() <= 4.0:
-            data = as_f.astype(np.float32)
+        # PCM32 or IEEE float32: stdlib ``wave`` exposes no format tag, so
+        # walk the fmt chunk ourselves; value sniffing (float32 audio stays
+        # within [-4, 4]) remains only as a last resort for broken headers.
+        tag = _fmt_tag(path)
+        if tag is None:
+            as_f = np.frombuffer(raw, dtype="<f4")
+            tag = 3 if (as_f.size and np.all(np.isfinite(as_f))
+                        and np.abs(as_f).max() <= 4.0) else 1
+        if tag == 3:
+            data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
         else:
             data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif width == 3:
@@ -57,6 +126,8 @@ def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
         data = i32.astype(np.float32) / 8388608.0
     elif width == 1:
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif width == 8 and _fmt_tag(path) == 3:
+        data = np.frombuffer(raw, dtype="<f8").astype(np.float32)
     else:
         raise ValueError(f"unsupported WAV sample width: {width}")
 

@@ -25,7 +25,12 @@ from emspec.pipeline import Pipeline, PipelineParams, get_pipeline
 
 
 class Column(NamedTuple):
-    """One emitted display column (still device-resident until read)."""
+    """One emitted display column (still device-resident until read).
+
+    ``index`` is the absolute analysis-hop number (column ⋅ hop = sample
+    offset of the window start), *including* frames skipped on producer
+    overrun — so the display time axis stays aligned with absolute audio
+    time even across a skip-ahead (failure contract, SURVEY.md §5.3)."""
     index: int            # absolute column number (0-based)
     vis: jax.Array        # (..., rows) float32 in [0, 1]
     rgba: jax.Array       # (..., rows, 4) uint8
@@ -136,8 +141,10 @@ class Stream:
     def _run_one(self, window: np.ndarray) -> list[Column]:
         dev = jax.device_put(window.astype(np.float32, copy=False))
         self._carry, (vis, rgba, _) = self._step(self._carry, dev, self.params)
-        # host-side counter mirrors the carry so no device sync per hop
-        idx = self._t - self.pipe.reach
+        # host-side counter mirrors the carry so no device sync per hop;
+        # dropped_frames keeps Column.index on absolute audio time across
+        # overrun skip-aheads (Column docstring contract)
+        idx = self._t - self.pipe.reach + self.dropped_frames
         self._t += 1
         if idx < 0:
             return []                                     # warmup, discarded
@@ -148,8 +155,13 @@ class Stream:
     # ------------------------------------------------------- state save/load
     def state_pytree(self):
         """Streaming state as a pytree for checkpoint/resume (SURVEY.md §5.4:
-        smoothing/AGC carries + pending ring + hop counter)."""
-        return {"carry": self._carry, "t": self._t, "next_frame": self._next_frame}
+        smoothing/AGC carries + pending ring + hop counter).
+
+        Carry leaves are materialized to host numpy: the live carry's
+        device buffers are *donated* into the next step, so a snapshot that
+        aliased them would be invalidated by the next push/flush."""
+        carry = jax.tree_util.tree_map(np.asarray, self._carry)
+        return {"carry": carry, "t": self._t, "next_frame": self._next_frame}
 
     def load_state(self, state) -> None:
         self._carry = state["carry"]

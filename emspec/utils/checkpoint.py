@@ -9,6 +9,7 @@ bit-exactly (tested in tests/test_checkpoint.py).
 Format: a single ``.npz`` file; the pytree structure is rebuilt from the
 stream's own fresh state, so no pickled code is loaded (np.load with
 allow_pickle=False — corrupt/hostile files can't execute anything).
+Tested in tests/test_ops.py (bit-exact save → resume ≡ uninterrupted run).
 """
 
 from __future__ import annotations
@@ -22,6 +23,13 @@ import numpy as np
 def _flatten(tree) -> list[np.ndarray]:
     leaves = jax.tree_util.tree_leaves(tree)
     return [np.asarray(leaf) for leaf in leaves]
+
+
+def _npz_path(path: str | Path) -> Path:
+    """np.savez appends '.npz' to extensionless paths; normalize here so
+    save_stream(p)/load_stream(p) round-trip for any p."""
+    p = Path(path)
+    return p if p.suffix == ".npz" else p.with_suffix(p.suffix + ".npz")
 
 
 def save_stream(path: str | Path, stream) -> None:
@@ -38,14 +46,15 @@ def save_stream(path: str | Path, stream) -> None:
     payload["ring_data"] = ring_data
     payload["ring_total"] = np.int64(total)
     payload["dropped"] = np.int64(stream.dropped_frames)
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    path = _npz_path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **payload)
 
 
 def load_stream(path: str | Path, stream) -> None:
     """Restore state saved by :func:`save_stream` into a freshly
     constructed Stream with identical Settings."""
-    with np.load(path, allow_pickle=False) as z:
+    with np.load(_npz_path(path), allow_pickle=False) as z:
         fresh = stream.pipe.init_stream_carry(
             (stream.channels,) if stream.channels > 1 else ())
         treedef = jax.tree_util.tree_structure(fresh)

@@ -1,0 +1,63 @@
+"""CLI surface (``python -m emspec``): the human-facing command set over
+the settings API, including the full preset Add/Edit/Delete contract
+(reference: README.md:16)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from emspec.__main__ import main
+from emspec.io import synth
+from emspec.io.wav import write_wav
+
+
+def test_presets_add_edit_delete_cli(tmp_path, capsys):
+    store = str(tmp_path / "presets.json")
+    # add a named preset with slider values
+    rc = main(["presets", "add", "--name", "Bass", "--file", store,
+               "--gain", "7.5", "--fft-size", "8192", "--mode", "natural"])
+    assert rc == 0
+    rc = main(["presets", "list", "--file", store])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Bass" in out and "Default" in out
+
+    # show round-trips the stored values
+    main(["presets", "show", "--name", "Bass", "--file", store])
+    d = json.loads(capsys.readouterr().out)
+    assert d["gain"] == 7.5 and d["fft_size"] == 8192 and d["mode"] == "natural"
+
+    # edit overwrites
+    rc = main(["presets", "edit", "--name", "Bass", "--file", store,
+               "--gain", "2.0"])
+    assert rc == 0
+    capsys.readouterr()                      # drop the edit confirmation
+    main(["presets", "show", "--name", "Bass", "--file", store])
+    assert json.loads(capsys.readouterr().out)["gain"] == 2.0
+
+    # add refuses an existing name; edit refuses a missing one
+    assert main(["presets", "add", "--name", "Bass", "--file", store]) == 1
+    assert main(["presets", "edit", "--name", "Nope", "--file", store]) == 1
+
+    # delete, and Default stays protected
+    assert main(["presets", "delete", "--name", "Bass", "--file", store]) == 0
+    main(["presets", "list", "--file", store])
+    assert "Bass" not in capsys.readouterr().out
+    with pytest.raises(ValueError):
+        main(["presets", "delete", "--name", "Default", "--file", store])
+
+
+def test_render_cli_writes_png(tmp_path, capsys):
+    wav = tmp_path / "t.wav"
+    write_wav(wav, synth.tone(440.0, 0.2), 48_000)
+    out = tmp_path / "out.png"
+    rc = main(["render", str(wav), str(out), "--mode", "natural",
+               "--fft-size", "1024", "--no-multires"])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 100
+
+
+def test_note_cli(capsys):
+    assert main(["note", "440"]) == 0
+    assert "A4" in capsys.readouterr().out

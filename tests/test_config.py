@@ -40,6 +40,12 @@ def test_validation():
         Settings(colormap="rainbow")
     with pytest.raises(ValueError):
         Settings(smoothing=1.0)
+    # multires bank sizes must be powers of two >= 256 (kernel tile
+    # policies and the fourstep factorization assume it)
+    with pytest.raises(ValueError):
+        Settings(multires_sizes=(8192, 2048, 768))
+    with pytest.raises(ValueError):
+        Settings(multires_sizes=(128,))
 
 
 def test_structural_vs_continuous_split():

@@ -49,6 +49,36 @@ def test_checkpoint_resume_bit_exact(tmp_path):
         np.testing.assert_allclose(got[i], want, atol=1e-6)
 
 
+def test_checkpoint_extensionless_path_roundtrip(tmp_path):
+    """save_stream(p)/load_stream(p) must agree on the on-disk name even
+    when p has no .npz suffix (np.savez appends one on save)."""
+    s = _settings(mode="natural")
+    x = synth.tone(440.0, 0.1, SR)
+    st1 = Stream(s)
+    st1.push(x)
+    plain = tmp_path / "ckpt"                 # no suffix
+    save_stream(plain, st1)
+    assert (tmp_path / "ckpt.npz").exists()
+    st2 = Stream(s)
+    load_stream(plain, st2)                   # same argument round-trips
+    assert st2._t == st1._t
+
+
+def test_stream_state_pytree_survives_donation():
+    """state_pytree snapshots must stay valid after further pushes — the
+    live carry's buffers are donated into the next step (ADVICE round 1)."""
+    s = _settings(mode="natural")
+    st = Stream(s)
+    st.push(synth.tone(440.0, 0.15, SR))
+    snap = st.state_pytree()
+    before = [np.array(a, copy=True) for a in
+              __import__("jax").tree_util.tree_leaves(snap["carry"])]
+    st.push(synth.tone(880.0, 0.1, SR))       # donates the live carry
+    after = __import__("jax").tree_util.tree_leaves(snap["carry"])
+    for b, a in zip(before, after):
+        np.testing.assert_array_equal(b, np.asarray(a))
+
+
 def test_checkpoint_rejects_pickle(tmp_path):
     """Checkpoint loading must never execute pickled code."""
     import pickle

@@ -153,6 +153,9 @@ def test_overrun_recovery():
     cols = st.push(synth.tone(440.0, 0.05, SR))
     assert len(cols) > 0
     assert st.dropped_frames > 0
+    # Column.index stays on absolute audio time: the skipped frames leave
+    # a gap, so post-skip indices sit at analyzed-hops + dropped
+    assert max(c.index for c in cols) >= st.dropped_frames
 
 
 # ------------------------------------------------------ state save/restore

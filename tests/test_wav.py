@@ -1,0 +1,82 @@
+"""WAV container handling: format-tag-driven decode (ADVICE round-1 fix —
+PCM32 vs IEEE float32 is decided by the fmt chunk, not value sniffing),
+plus pure-Python reads of containers stdlib ``wave`` rejects."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from emspec.io.wav import _read_wav_py, read_wav, write_wav
+
+
+def _wav_blob(tag: int, bits: int, body: bytes, rate: int = 48_000,
+              nch: int = 1) -> bytes:
+    width = bits // 8
+    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * width * nch,
+                      width * nch, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_float32_wav_pure_python(tmp_path):
+    """stdlib wave raises 'unknown format: 3'; the manual RIFF fallback
+    must decode IEEE float WAVs anyway."""
+    x = (0.25 * np.sin(np.arange(500) / 7.0)).astype("<f4")
+    p = tmp_path / "f32.wav"
+    p.write_bytes(_wav_blob(3, 32, x.tobytes()))
+    got, rate = _read_wav_py(p)
+    assert rate == 48_000
+    np.testing.assert_array_equal(got[0], x)
+
+
+def test_pcm32_small_values_not_misread_as_float(tmp_path):
+    """A quiet PCM32 file whose raw bytes happen to decode to tiny finite
+    floats (any int < ~2^30 does) must decode via the PCM path — the fmt
+    tag says so (regression for the value-sniffing heuristic)."""
+    ints = np.arange(0, 400, dtype="<i4") * 1000       # tiny PCM32 values
+    p = tmp_path / "i32.wav"
+    p.write_bytes(_wav_blob(1, 32, ints.tobytes()))
+    got, rate = _read_wav_py(p)
+    want = ints.astype(np.float32) / 2147483648.0
+    np.testing.assert_array_equal(got[0], want)
+    # sanity: the bytes DO look like valid small floats (the trap is real)
+    as_f = ints.view("<f4")
+    assert np.all(np.isfinite(as_f)) and np.abs(as_f).max() <= 4.0
+
+
+def test_extensible_float_wav(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE resolves through the SubFormat GUID."""
+    x = (0.1 * np.cos(np.arange(300) / 5.0)).astype("<f4")
+    # fmt: tag 0xFFFE, cbSize=22, validbits=32, channelmask, SubFormat GUID
+    # whose first 2 bytes carry the real tag (3 = IEEE float)
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 48_000, 48_000 * 4, 4, 32)
+    fmt += struct.pack("<HHI", 22, 32, 0x4)
+    fmt += struct.pack("<H", 3) + bytes(14)
+    body = x.tobytes()
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    p = tmp_path / "ext.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+    got, rate = _read_wav_py(p)
+    assert rate == 48_000
+    np.testing.assert_array_equal(got[0], x)
+
+
+def test_float64_wav(tmp_path):
+    x = 0.5 * np.sin(np.arange(200) / 3.0)
+    p = tmp_path / "f64.wav"
+    p.write_bytes(_wav_blob(3, 64, x.astype("<f8").tobytes()))
+    got, _ = _read_wav_py(p)
+    np.testing.assert_allclose(got[0], x.astype(np.float32), atol=0)
+
+
+def test_write_read_roundtrip_public_api(tmp_path):
+    x = 0.9 * np.sin(np.arange(1000) / 11.0).astype(np.float32)
+    p = tmp_path / "rt.wav"
+    write_wav(p, x, 44_100)
+    got, rate = read_wav(p)
+    assert rate == 44_100
+    # 16-bit quantization (truncation) + the 32767/32768 write/read scale
+    np.testing.assert_allclose(got[0], x, atol=1e-4, rtol=0)
