@@ -1,20 +1,33 @@
-"""Pallas TPU kernel: fused one-hot-matmul histogram (the reassignment
-scatter-add) — the hottest op of the pipeline (SURVEY.md §3.2: the one op
-XLA won't fuse well; §7 hard part 1).
+"""Pallas TPU kernel: histogram (the reassignment scatter-add) as an MXU
+outer-product GEMM — the hottest op of the pipeline (SURVEY.md §3.2: the
+one op XLA won't fuse well; §7 hard part 1).
 
 Data-dependent scatters don't vectorize on TPU's VPU; the TPU-native
-formulation is a *histogram as matmul*: for a chunk of deposits with ids
-``i`` and values ``v``, build the one-hot matrix ``O[m, s] = [i_m == s]``
-in VMEM on the fly and contract ``v @ O`` on the MXU.  The one-hot tile
-never exists in HBM — the kernel streams (ids, vals) chunks in and keeps a
-(1, S_tile) accumulator resident, so HBM traffic is just the inputs once
-and the output once.
+formulation is a *histogram as matmul*.  Round 1 built the one-hot matrix
+``O[m, s] = [i_m == s]`` over the full scatter space S and contracted
+``v @ O`` as an M=1 vector-matrix product — correct, but doubly wasteful:
+the VPU builds ``m·S`` comparisons per call and the MXU runs with one of
+its 128 sublane rows occupied (measured VPU-bound at ~2.3 TFLOP/s
+equivalent on the 16ch/32768 stress shape).
 
-Grid: ``(B, S_tiles, M_chunks)`` — the output tile is revisited across the
-M_chunks (innermost) dimension and accumulated in place.  The default
-s_tile covers the display scatter space (P·rows ≤ 4608) in ONE tile so
-each (ids, vals) chunk streams through VMEM exactly once — measured ~2×
-faster than 1024-wide s-tiles on the stress shape.
+Round 2 replaces it with a **digit decomposition**: split every id into
+``id = hi·128 + lo`` and observe that the histogram *is* the rank-2
+contraction
+
+    H[hi, lo] = Σ_m  v_m · [hi_m == hi] · [lo_m == lo]
+              = (A @ O)[hi, lo],   A[h, m] = v_m·[hi_m == h],
+                                   O[m, l] = [lo_m == l]
+
+so one (S_hi, m) @ (m, 128) GEMM per batch row produces the whole
+histogram, reshaped.  Costs vs round 1 on the stress shape (S = 4608,
+S_hi = 36): VPU one-hot build drops 4608 → 164 compares per deposit
+(28×), MXU pass count drops 36× (the N dimension is one 128-lane tile and
+the sublane rows are the hi digits, not a single broadcast row).
+Measured numbers live in BENCH.md (honest fetch-forced marginal timing).
+
+The one-hot tiles never exist in HBM — the kernel streams (ids, vals)
+chunks through VMEM and keeps the (S_hi, 128) accumulator resident, so
+HBM traffic is the inputs once and the output once.
 """
 
 from __future__ import annotations
@@ -27,50 +40,56 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LO = 128            # lane width: the low digit's radix
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_tile: int):
-    """One (batch-row, s-tile, m-chunk) step: accumulate the chunk's
-    histogram contribution for this target tile.
+def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_hi: int):
+    """One (batch-row, m-chunk) step: accumulate the chunk's histogram.
 
-    A histogram is a vector@matrix product (M = 1): the MXU's sublane
-    rows can't be filled with independent batch rows because each row
-    needs its own one-hot matrix, so batch parallelism lives in the grid
-    instead."""
-    j = pl.program_id(2)
+    A[h, m] = v_m·[hi_m == h] and O[m, l] = [lo_m == l] are built on the
+    VPU in VMEM; their (S_hi, 128) product on the MXU is this chunk's
+    histogram contribution, accumulated in place across the m grid dim."""
+    j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    s0 = pl.program_id(1) * s_tile
-    ids = ids_ref[0]                                      # (1, MC) int32
+    ids = ids_ref[0]                                  # (1, MC) int32
+    vals = vals_ref[0]                                # (1, MC) f32
     mc = ids.shape[-1]
-    # one-hot (MC, S_tile) built on the fly in VMEM, contracted on MXU
-    cols = jax.lax.broadcasted_iota(jnp.int32, (mc, s_tile), 1)
-    onehot = (jnp.broadcast_to(ids.reshape(mc, 1) - s0, (mc, s_tile))
-              == cols).astype(jnp.float32)
-    out_ref[0] += jnp.dot(vals_ref[0], onehot,
-                          preferred_element_type=jnp.float32)
+    hi = jnp.right_shift(ids, 7)                      # floor(id/128); -1 → -1
+    lo = jnp.bitwise_and(ids, _LO - 1)
+    # A: (S_hi, MC) — vals routed to their hi-digit row (invalid ids have
+    # hi outside [0, S_hi) and land nowhere)
+    hrows = jax.lax.broadcasted_iota(jnp.int32, (s_hi, mc), 0)
+    A = jnp.where(hrows == jnp.broadcast_to(hi, (s_hi, mc)),
+                  jnp.broadcast_to(vals, (s_hi, mc)), 0.0)
+    # O: (MC, 128) — lo-digit one-hot
+    lcols = jax.lax.broadcasted_iota(jnp.int32, (mc, _LO), 1)
+    O = (jnp.broadcast_to(lo.reshape(mc, 1), (mc, _LO)) == lcols
+         ).astype(jnp.float32)
+    out_ref[0] += jnp.dot(A, O, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "m_chunk", "s_tile"))
+@functools.partial(jax.jit, static_argnames=("num_bins", "m_chunk"))
 def histogram_matmul(ids: jnp.ndarray, vals: jnp.ndarray, num_bins: int,
-                     m_chunk: int = 1024, s_tile: int = 4608) -> jnp.ndarray:
+                     m_chunk: int | None = None) -> jnp.ndarray:
     """Scatter-add ``vals`` into ``num_bins`` cells keyed by ``ids``.
 
     ids:  (..., M) int32 in [0, num_bins) — out-of-range ids contribute
-          nothing (their one-hot row is all-zero), so callers can encode
-          "dropped" deposits as id = -1 instead of masking values.
+          nothing (their hi digit matches no accumulator row), so callers
+          can encode "dropped" deposits as id = -1 instead of masking.
     vals: (..., M) float32
     →     (..., num_bins) float32
 
     Equivalent to ``jax.ops.segment_sum`` per leading element, but runs as
-    MXU matmuls with on-the-fly one-hot tiles (no sort, no serialized
-    scatter, no HBM materialization).
+    one MXU GEMM per (batch row, chunk) with on-the-fly digit one-hots
+    (no sort, no serialized scatter, no HBM materialization).
     """
     lead = ids.shape[:-1]
     m = ids.shape[-1]
@@ -78,42 +97,46 @@ def histogram_matmul(ids: jnp.ndarray, vals: jnp.ndarray, num_bins: int,
     ids2 = ids.reshape(b, m)
     vals2 = vals.reshape(b, m).astype(jnp.float32)
 
+    s_hi = _round_up(_round_up(num_bins, _LO) // _LO, 8)   # f32 sublane tile
+    if m_chunk is None:
+        # auto: one chunk per batch row when A+O fit a ~13 MB VMEM budget
+        # (measured fastest at the stress shape — no grid revisiting), else
+        # the largest 128-multiple that fits
+        m_chunk = max((13 << 20) // (4 * (s_hi + _LO)) // 128 * 128, 512)
     mc = min(m_chunk, _round_up(m, 128))
     m_pad = _round_up(m, mc)
     if m_pad != m:
         # pad with id = -1 (contributes nothing)
         ids2 = jnp.pad(ids2, ((0, 0), (0, m_pad - m)), constant_values=-1)
         vals2 = jnp.pad(vals2, ((0, 0), (0, m_pad - m)))
-    st = min(s_tile, _round_up(num_bins, 128))
-    s_pad = _round_up(num_bins, st)
     # dim-1 middle axis: blocks of (1, 1, mc) are legal because the block's
     # second-to-last dim equals the array's
     ids3 = ids2.reshape(b, 1, m_pad)
     vals3 = vals2.reshape(b, 1, m_pad)
 
-    grid = (b, s_pad // st, m_pad // mc)
+    grid = (b, m_pad // mc)
     out = pl.pallas_call(
-        functools.partial(_hist_kernel, s_tile=st),
+        functools.partial(_hist_kernel, s_hi=s_hi),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, mc), lambda bi, si, mi: (bi, 0, mi),
+            pl.BlockSpec((1, 1, mc), lambda bi, mi: (bi, 0, mi),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, mc), lambda bi, si, mi: (bi, 0, mi),
+            pl.BlockSpec((1, 1, mc), lambda bi, mi: (bi, 0, mi),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, st), lambda bi, si, mi: (bi, 0, si),
+        out_specs=pl.BlockSpec((1, s_hi, _LO), lambda bi, mi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 1, s_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, s_hi, _LO), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.5 * (4 * mc * st)) + (1 << 21),
+            vmem_limit_bytes=int(1.5 * 4 * mc * (s_hi + _LO)) + (1 << 21),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * m_pad * s_pad,
-            bytes_accessed=b * (8 * m_pad + 4 * s_pad),
+            flops=2 * b * m_pad * s_hi * _LO,
+            bytes_accessed=b * (8 * m_pad + 4 * s_hi * _LO),
             transcendentals=0,
         ),
     )(ids3, vals3)
-    return out[:, 0, :num_bins].reshape(lead + (num_bins,))
+    return out.reshape(b, s_hi * _LO)[:, :num_bins].reshape(lead + (num_bins,))
 
 
 def histogram_reference(ids, vals, num_bins):

@@ -113,10 +113,12 @@ class Pipeline:
     def use_pallas_scatter(self) -> bool:
         s = self.settings.scatter
         if s == "auto":
-            # Measured on TPU v5e: the one-hot-matmul kernel wins while the
-            # relative scatter space P·rows stays MXU-sized (single-bank and
-            # stress configs, ~+11%/+29%); at P=129 (multires small-hop) the
-            # histogram flops outgrow XLA's scatter lowering.
+            # Measured on TPU v5e (round 2, hi/lo digit kernel): pallas wins
+            # big while the relative scatter space P·rows stays one M-tile
+            # deep (8192 single-bank: 0.52 vs 3.2 ms/call, 6×; stress: 2×);
+            # at P=129 (multires small-hop, S=66k → s_hi=520) the digit
+            # one-hot build and M-tiling outgrow XLA's scatter lowering
+            # (14.3 vs 9.9 ms/call) — crossover re-measured in BENCH.md.
             return (jax.default_backend() == "tpu"
                     and (2 * self.reach + 1) * self.rows <= 16384)
         return s == "pallas"

@@ -26,7 +26,7 @@ def test_histogram_matches_segment_sum():
     want = np.asarray(histogram_reference(jnp.asarray(ids), jnp.asarray(vals), s))
     with _interp():
         got = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
-                                          m_chunk=256, s_tile=128))
+                                          m_chunk=256))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
@@ -34,7 +34,7 @@ def test_histogram_negative_ids_dropped():
     ids = jnp.asarray([0, -1, 2, -1, 2], jnp.int32)
     vals = jnp.asarray([1.0, 5.0, 2.0, 7.0, 3.0], jnp.float32)
     with _interp():
-        got = np.asarray(histogram_matmul(ids, vals, 4, m_chunk=128, s_tile=128))
+        got = np.asarray(histogram_matmul(ids, vals, 4, m_chunk=128))
     np.testing.assert_allclose(got, [1.0, 0.0, 5.0, 0.0])
 
 
@@ -46,7 +46,7 @@ def test_histogram_batched():
     want = np.asarray(histogram_reference(jnp.asarray(ids), jnp.asarray(vals), s))
     with _interp():
         got = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
-                                          m_chunk=256, s_tile=128))
+                                          m_chunk=256))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
@@ -57,7 +57,7 @@ def test_histogram_empty_bins_and_total():
     vals = np.ones(m, np.float32)
     with _interp():
         got = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
-                                          m_chunk=128, s_tile=128))
+                                          m_chunk=128))
     assert got[50:].sum() == 0.0
     assert got.sum() == pytest.approx(m)
 
