@@ -12,7 +12,11 @@ import sys
 
 def main() -> int:
     from emspec.bench.harness import primary_metric
+    from emspec.dsp.pallas.validate import validate_kernels
     quick = "--quick" in sys.argv
+    # every bench run re-validates the Pallas kernels on the live backend
+    # (real Mosaic compile + parity on TPU) before any number is reported
+    validate_kernels(quick=True)
     print(json.dumps(primary_metric(quick=quick)))
     return 0
 

@@ -143,7 +143,14 @@ def cmd_presets(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from emspec.bench.harness import run_benchmarks
+    from emspec.bench.harness import run_benchmarks, write_profiler_trace
+    if args.trace:
+        from emspec.config import Settings
+        out = write_profiler_trace(
+            Settings(mode="enhanced", multires=False, fft_size=8192),
+            args.trace)
+        print(f"profiler trace written to {out}")
+        return 0
     report = run_benchmarks(quick=args.quick)
     print(json.dumps(report, indent=2))
     return 0
@@ -196,6 +203,9 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="run the performance harness")
     pb.add_argument("--quick", action="store_true")
+    pb.add_argument("--trace", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the streaming hot "
+                         "loop to DIR instead of running the harness")
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

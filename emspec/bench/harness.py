@@ -143,7 +143,84 @@ def _latency(settings, hops: int = 200) -> dict:
             "p99_ms": float(np.percentile(times, 99)),
             "mean_ms": float(times.mean()),
             "pipelined_ms_per_hop": pipelined_ms,
+            # (c) device-only per-hop cost: the same _stream_step scanned
+            # on device (no per-hop host dispatch at all) — the number a
+            # locally attached TPU's audio-to-raster latency is built from
+            "device_scan_ms_per_hop": _device_scan_ms_per_hop(settings),
             "hops": hops}
+
+
+def _device_scan_ms_per_hop(settings, k: int = 64, reps: int = 5) -> float:
+    """Per-hop device cost of the exact streaming step, measured by
+    scanning ``_stream_step`` over k staged windows inside ONE jit call —
+    no per-hop host dispatch, so the environment's tunnel round-trips
+    (~30 ms each here) drop out entirely.  Marginal, fetch-forced,
+    median of ``reps`` samples (BENCH.md methodology)."""
+    import jax
+    import jax.numpy as jnp
+    from emspec.pipeline import get_pipeline
+
+    pipe = get_pipeline(settings)
+    ch = settings.channels
+    lead = (ch,) if ch > 1 else ()
+    secs = (pipe.n_max + k * pipe.hop) / settings.sample_rate + 0.05
+    x = _signal(secs, settings.sample_rate, ch)
+    if ch == 1 and x.ndim > 1:
+        x = x[0]
+    windows = np.stack([x[..., t * pipe.hop: t * pipe.hop + pipe.n_max]
+                        for t in range(k)])               # (k, [ch,] n_max)
+    wd = jax.device_put(windows.astype(np.float32))
+    p = pipe.params()
+
+    def scan_fn(carry, w):
+        carry, (vis, _, _) = pipe._stream_step(carry, w, p)
+        return carry, vis[..., 0]
+
+    f = jax.jit(lambda c, ws: jax.lax.scan(scan_fn, c, ws))
+    carry0 = pipe.init_stream_carry(lead)
+    carry, out = f(carry0, wd)
+    _ = np.asarray(out).ravel()[0]                        # compile + force
+
+    def chain(iters):
+        c = pipe.init_stream_carry(lead)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c, out = f(c, wd)
+        _ = np.asarray(out).ravel()[0]
+        return time.perf_counter() - t0
+
+    samples = [(chain(9) - chain(3)) / 6 / k * 1e3 for _ in range(reps)]
+    return float(np.median(samples))
+
+
+def write_profiler_trace(settings, outdir: str, hops: int = 40) -> str:
+    """Run ``hops`` streaming steps under ``jax.profiler.trace`` and save
+    the artifact (xplane + trace.json.gz) to ``outdir``.
+
+    On a locally attached TPU the artifact contains the device timeline
+    per hop; through this environment's remote tunnel only host-side
+    events (PJRT dispatch, transfers) are captured — the device-side
+    number is then ``device_scan_ms_per_hop`` (measured, not traced)."""
+    import jax
+    from emspec.stream import Stream
+
+    st = Stream(settings, ring_seconds=8.0)
+    hop, n_max = st.pipe.hop, st.pipe.n_max
+    secs = (n_max + (hops + st.reach + 4) * hop) / settings.sample_rate + 0.1
+    x = _signal(secs, settings.sample_rate, settings.channels)
+    if settings.channels == 1 and x.ndim > 1:
+        x = x[0]
+    pos = n_max + (st.reach + 2) * hop
+    cols = st.push(x[..., :pos])                           # warmup + compile
+    if cols:
+        _ = np.asarray(cols[-1].rgba)
+    with jax.profiler.trace(outdir):
+        for _ in range(hops):
+            cols = st.push(x[..., pos:pos + hop])
+            pos += hop
+            if cols:
+                _ = np.asarray(cols[-1].rgba)              # display fetch
+    return outdir
 
 
 def primary_metric(quick: bool = False) -> dict:
@@ -169,8 +246,12 @@ def run_benchmarks(quick: bool = False) -> dict:
     secs = 1.0 if quick else 4.0
     iters = 2 if quick else 8
     hops = 50 if quick else 200
+    from emspec.dsp.pallas.validate import validate_kernels
     report: dict = {
         "device": str(jax.devices()[0]),
+        # Mosaic compile + parity of both kernels on the live backend —
+        # every bench run re-validates before reporting numbers
+        "kernels": validate_kernels(quick=quick),
         "primary": primary_metric(quick),
         "configs": {},
     }

@@ -47,7 +47,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_hi: int):
+def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_hi: int, passes: int):
     """One (batch-row, m-chunk) step: accumulate the chunk's histogram.
 
     A[h, m] = v_m·[hi_m == h] and O[m, l] = [lo_m == l] are built on the
@@ -64,21 +64,40 @@ def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_hi: int):
     mc = ids.shape[-1]
     hi = jnp.right_shift(ids, 7)                      # floor(id/128); -1 → -1
     lo = jnp.bitwise_and(ids, _LO - 1)
-    # A: (S_hi, MC) — vals routed to their hi-digit row (invalid ids have
-    # hi outside [0, S_hi) and land nowhere)
-    hrows = jax.lax.broadcasted_iota(jnp.int32, (s_hi, mc), 0)
-    A = jnp.where(hrows == jnp.broadcast_to(hi, (s_hi, mc)),
-                  jnp.broadcast_to(vals, (s_hi, mc)), 0.0)
-    # O: (MC, 128) — lo-digit one-hot
+    # O: (MC, 128) — lo-digit one-hot; 0/1 is exactly representable in
+    # bf16, so the MXU's native input type costs no accuracy here
     lcols = jax.lax.broadcasted_iota(jnp.int32, (mc, _LO), 1)
+    # select in f32 first: Mosaic can't relayout the (8,128)-tiled i1 mask
+    # of an int32 compare straight into 16-bit (16,128) tiling
     O = (jnp.broadcast_to(lo.reshape(mc, 1), (mc, _LO)) == lcols
-         ).astype(jnp.float32)
-    out_ref[0] += jnp.dot(A, O, preferred_element_type=jnp.float32)
+         ).astype(jnp.float32).astype(jnp.bfloat16)
+    # A: (S_hi, MC) — vals routed to their hi-digit row (invalid ids have
+    # hi outside [0, S_hi) and land nowhere).  The MXU multiplies in bf16;
+    # a plain f32 dot would silently truncate vals to 8 mantissa bits
+    # (measured 4e-3 relative error on the real chip — caught by
+    # tests/test_tpu.py).  Splitting vals into ``passes`` bf16 terms and
+    # summing one single-pass bf16 GEMM per term bounds the error at
+    # ~2^-8·passes relative (all contributions are non-negative powers, so
+    # bin sums can't cancel): 2 passes ⇒ ≤ 2^-16 ≈ 1.5e-5, 3 ⇒ f32-exact.
+    hmatch = (jax.lax.broadcasted_iota(jnp.int32, (s_hi, mc), 0)
+              == jnp.broadcast_to(hi, (s_hi, mc)))
+    acc = out_ref[0]
+    resid = vals
+    for _ in range(passes):
+        v = resid.astype(jnp.bfloat16).astype(jnp.float32)
+        resid = resid - v
+        # select in f32 (mask layout), cast to bf16 (exact: v is one bf16
+        # split term)
+        A = jnp.where(hmatch, jnp.broadcast_to(v, (s_hi, mc)), 0.0
+                      ).astype(jnp.bfloat16)
+        acc = acc + jnp.dot(A, O, preferred_element_type=jnp.float32)
+    out_ref[0] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "m_chunk"))
+@functools.partial(jax.jit, static_argnames=("num_bins", "m_chunk", "passes"))
 def histogram_matmul(ids: jnp.ndarray, vals: jnp.ndarray, num_bins: int,
-                     m_chunk: int | None = None) -> jnp.ndarray:
+                     m_chunk: int | None = None,
+                     passes: int = 2) -> jnp.ndarray:
     """Scatter-add ``vals`` into ``num_bins`` cells keyed by ``ids``.
 
     ids:  (..., M) int32 in [0, num_bins) — out-of-range ids contribute
@@ -90,6 +109,12 @@ def histogram_matmul(ids: jnp.ndarray, vals: jnp.ndarray, num_bins: int,
     Equivalent to ``jax.ops.segment_sum`` per leading element, but runs as
     one MXU GEMM per (batch row, chunk) with on-the-fly digit one-hots
     (no sort, no serialized scatter, no HBM materialization).
+
+    passes: bf16 split terms for ``vals`` (the MXU multiplies in bf16).
+    2 (default) bounds the histogram error at ≤ 2^-16 relative — an order
+    below display significance and the validate/parity tolerances; 3 is
+    f32-exact for callers that need it.  The segment_sum reference backend
+    stays the bit-accurate baseline either way.
     """
     lead = ids.shape[:-1]
     m = ids.shape[-1]
@@ -116,7 +141,7 @@ def histogram_matmul(ids: jnp.ndarray, vals: jnp.ndarray, num_bins: int,
 
     grid = (b, m_pad // mc)
     out = pl.pallas_call(
-        functools.partial(_hist_kernel, s_hi=s_hi),
+        functools.partial(_hist_kernel, s_hi=s_hi, passes=passes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, mc), lambda bi, mi: (bi, 0, mi),

@@ -2,11 +2,17 @@
 
 This realizes the reference's live visualization loop (SURVEY.md §3.2):
 samples arrive in a host ring buffer, each hop stages one analysis window
-to the device (double-buffered: the *next* window is staged while the
-current step is still in flight — JAX dispatch is asynchronous, so the
-host never blocks on compute), one fused jitted step scatters/merges and
-emits a display column, and only the finished uint8 RGBA column crosses
-back to host [NS: "no host round-trip" for the compute chain].
+to the device, one fused jitted step scatters/merges and emits a display
+column, and only the finished uint8 RGBA column crosses back to host
+[NS: "no host round-trip" for the compute chain].
+
+Double-buffered prefetch [NS north_star]: staging is an explicit two-slot
+queue — ``_stage_one`` issues the host→HBM copy of hop t+1 *before* the
+step for hop t is dispatched, so even a blocking transfer path overlaps
+the copy with compute (JAX dispatch is additionally asynchronous; the
+queue makes the overlap a structural property rather than a runtime
+accident).  tests/test_stream.py::test_staging_overlaps_compute pins the
+ordering.
 
 Pause/resume mirrors the reference's Max-for-Live window sync
 (docs/MAX-FOR-LIVE.md): see ``emspec.integrations.live_state``.
@@ -14,6 +20,7 @@ Pause/resume mirrors the reference's Max-for-Live window sync
 
 from __future__ import annotations
 
+from collections import deque
 from typing import NamedTuple
 
 import jax
@@ -63,6 +70,8 @@ class Stream:
         self._t = 0                 # host mirror of the carry's hop counter
         self._last_col = None       # underrun repaint contract (SURVEY 5.3)
         self._next_frame = 0        # next hop index to analyze
+        self._next_stage = 0        # next hop index to stage to device
+        self._staged = deque()      # two-slot host→HBM prefetch queue
         self._paused = False
         self._finished = False
         # the pipeline's canonical donated-carry executable (shared with
@@ -116,30 +125,51 @@ class Stream:
         return out
 
     # ------------------------------------------------------------- internals
-    def _drain(self) -> list[Column]:
-        out = []
+    def _stage_one(self) -> bool:
+        """Issue the host→HBM copy for the next available hop window.
+        Returns False when the ring doesn't hold a full window yet."""
         n_max, hop = self.pipe.n_max, self.pipe.hop
-        # stage-ahead loop: device_put + step dispatch are async, so window
-        # t+1 is being copied while step t computes (double-buffered prefetch)
-        while self.ring.total_written >= self._next_frame * hop + n_max:
+        while True:
+            if self.ring.total_written < self._next_stage * hop + n_max:
+                return False
             try:
-                window = self.ring.window_at(self._next_frame * hop, n_max)
+                window = self.ring.window_at(self._next_stage * hop, n_max)
             except ValueError:
                 # overrun: the producer lapped us. Skip to the newest
                 # fully-available frame and keep going — degraded display
                 # beats a dead stream (failure contract, SURVEY.md §5.3).
                 newest = (self.ring.total_written - n_max) // hop
-                self.dropped_frames += max(newest - self._next_frame, 0)
-                self._next_frame = max(newest, self._next_frame + 1)
+                self.dropped_frames += max(newest - self._next_stage, 0)
+                self._next_stage = max(newest, self._next_stage + 1)
                 continue
             if self.channels == 1:
                 window = window[0]
-            out.extend(self._run_one(window))
-            self._next_frame += 1
+            dev = jax.device_put(window.astype(np.float32, copy=False))
+            self._staged.append(dev)
+            self._next_stage += 1
+            return True
+
+    def _drain(self) -> list[Column]:
+        out = []
+        while True:
+            # two-slot double buffering: before dispatching the step for
+            # hop t, hop t+1's copy is already in flight
+            while len(self._staged) < 2 and self._stage_one():
+                pass
+            if not self._staged:
+                break
+            dev = self._staged.popleft()
+            if not self._staged:
+                self._stage_one()           # stage t+1 ahead of step t
+            out.extend(self._dispatch(dev))
+            self._next_frame = self._next_stage - len(self._staged)
         return out
 
     def _run_one(self, window: np.ndarray) -> list[Column]:
         dev = jax.device_put(window.astype(np.float32, copy=False))
+        return self._dispatch(dev)
+
+    def _dispatch(self, dev) -> list[Column]:
         self._carry, (vis, rgba, _) = self._step(self._carry, dev, self.params)
         # host-side counter mirrors the carry so no device sync per hop;
         # dropped_frames keeps Column.index on absolute audio time across
@@ -167,6 +197,11 @@ class Stream:
         self._carry = state["carry"]
         self._t = int(state["t"])
         self._next_frame = int(state["next_frame"])
+        # restaging restarts from the resume point (staged-but-unanalyzed
+        # windows are never part of a snapshot: _drain always empties the
+        # queue before returning)
+        self._next_stage = self._next_frame
+        self._staged.clear()
 
 
 def stream_signal(x: np.ndarray, settings: Settings,

@@ -142,6 +142,43 @@ def test_global_agc_couples_channels():
     assert abs(refs2[0] - refs2[1]) > 1.0                  # decoupled differ
 
 
+def test_staging_overlaps_compute():
+    """Double-buffered prefetch contract [NS north_star]: the host→HBM
+    copy (device_put) for hop t+1 must be ISSUED before the step for hop
+    t dispatches, for every t — a structural ordering, not an async
+    accident.  Recorded by instrumenting the staging and step calls."""
+    s = _settings(mode="natural")
+    st = Stream(s)
+    events = []
+
+    real_stage = st._stage_one
+    def tagged_stage():
+        ok = real_stage()
+        if ok:
+            events.append(("put", st._next_stage - 1))
+        return ok
+    st._stage_one = tagged_stage
+
+    real_step = st._step
+    def tagged_step(carry, dev, params):
+        # the frame being stepped is the one just popped from the queue
+        events.append(("step", st._next_stage - len(st._staged) - 1))
+        return real_step(carry, dev, params)
+    st._step = tagged_step
+
+    st.push(synth.tone(440.0, 0.25, SR))     # many hops in one drain
+    put_pos = {f: i for i, (kind, f) in enumerate(events) if kind == "put"}
+    steps = [(i, f) for i, (kind, f) in enumerate(events) if kind == "step"]
+    assert len(steps) >= 8
+    last_staged = max(put_pos)
+    # for every step t (except the last available frame), put(t+1) must
+    # appear in the event log BEFORE step(t)
+    for i, f in steps:
+        if f + 1 <= last_staged:
+            assert put_pos[f + 1] < i, (
+                f"hop {f+1} staged after step {f} dispatched")
+
+
 def test_overrun_recovery():
     """Producer laps the ring while paused → stream skips ahead instead of
     dying, and counts the dropped frames (SURVEY.md §5.3)."""
