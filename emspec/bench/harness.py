@@ -69,6 +69,7 @@ def _throughput(settings, seconds: float, iters: int) -> dict:
         totals.append(time.perf_counter() - t0)
     dt = (totals[1] - totals[0]) / (hi - lo)               # marginal s/call
     cols_per_sec = t_count / dt
+    from emspec.bench.roofline import roofline_report
     return {
         "columns_per_sec": cols_per_sec,
         "frames_per_sec_total": cols_per_sec * max(settings.channels, 1),
@@ -76,6 +77,9 @@ def _throughput(settings, seconds: float, iters: int) -> dict:
         "iters": iters,
         "ms_per_call_marginal": dt * 1e3,
         "realtime_factor": cols_per_sec * pipe.hop / settings.sample_rate,
+        # estimated FLOPs/bytes → achieved rates vs v5e peaks (§5.5 /
+        # VERDICT #8: arithmetic-intensity regressions become visible)
+        "roofline": roofline_report(pipe, cols_per_sec),
     }
 
 

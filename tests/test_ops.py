@@ -120,6 +120,25 @@ def test_pipeline_hover_readout():
 
 
 # ----------------------------------------------------------------- tracing
+def test_roofline_estimates():
+    """Roofline model sanity: estimates are positive, scale with channel
+    count, and enhanced mode costs more than natural (VERDICT #8)."""
+    from emspec.bench.roofline import estimate_column_cost, roofline_report
+    p1 = Pipeline(Settings(mode="enhanced", multires=False, fft_size=8192))
+    p16 = Pipeline(Settings(mode="enhanced", multires=False, fft_size=8192,
+                            channels=16))
+    pn = Pipeline(Settings(mode="natural", multires=False, fft_size=8192))
+    e1 = estimate_column_cost(p1)
+    e16 = estimate_column_cost(p16)
+    en = estimate_column_cost(pn)
+    assert e1["flops_per_col"] > 0 and e1["bytes_per_col"] > 0
+    assert abs(e16["flops_per_col"] / e1["flops_per_col"] - 16) < 1e-6
+    assert en["flops_per_col"] < e1["flops_per_col"]
+    r = roofline_report(p1, 100_000.0)
+    assert r["achieved_tflops"] > 0
+    assert 0 <= r["pct_v5e_bf16_peak"] <= 100
+
+
 def test_stage_timer():
     t = StageTimer()
     t.start()
