@@ -52,11 +52,20 @@ def _settings_from(args, sample_rate: int, channels: int = 1,
 
 def cmd_render(args) -> int:
     from emspec.io.wav import read_wav
-    from emspec.render.png import write_png
+    from emspec.render.png import tile_images, write_png
 
     audio, rate = read_wav(args.input)
     s = _settings_from(args, rate)
-    x = audio[args.channel]
+    if args.channel == "all":
+        # tiled per-channel view (log-frequency display path), one batched
+        # pipeline pass over all channels
+        from emspec.pipeline import render_images_channels
+        img = tile_images(render_images_channels(audio, s))
+        write_png(args.output, img)
+        print(f"{args.output}: {img.shape[1]}x{img.shape[0]} px, "
+              f"{audio.shape[0]} channels tiled, mode={s.mode}, sr={rate}")
+        return 0
+    x = audio[int(args.channel)]
     if s.multires:
         from emspec.pipeline import render_image_multires
         img = render_image_multires(x, s)
@@ -71,27 +80,35 @@ def cmd_render(args) -> int:
 
 def cmd_stream(args) -> int:
     """Feed a WAV through the real-time streaming path into a scrolling
-    waterfall, then snapshot the waterfall to PNG."""
+    waterfall, then snapshot the waterfall to PNG.  ``--channel all``
+    streams every channel through one multichannel Stream and tiles one
+    waterfall per channel."""
     from emspec.io.wav import read_wav
-    from emspec.render.png import write_png
+    from emspec.render.png import tile_images, write_png
     from emspec.render.waterfall import Waterfall
     from emspec.stream import Stream
 
     audio, rate = read_wav(args.input)
-    s = _settings_from(args, rate, multires_default=True)
+    tiled = args.channel == "all" and audio.shape[0] > 1
+    nch = audio.shape[0] if tiled else 1
+    s = _settings_from(args, rate, channels=nch, multires_default=True)
     stream = Stream(s)
-    wf = Waterfall(args.width, s.raster_height, s.scroll_speed)
-    x = audio[args.channel]
+    wfs = [Waterfall(args.width, s.raster_height, s.scroll_speed)
+           for _ in range(nch)]
+    x = audio if tiled else audio[0 if args.channel == "all" else int(args.channel)]
     n_cols = 0
-    for i in range(0, len(x), args.chunk):
-        for col in stream.push(x[i:i + args.chunk]):
-            wf.add_column(col.rgba)
+    def paint(col):
+        for c, wf in enumerate(wfs):
+            wf.add_column(col.rgba if col.rgba.ndim == 2 else col.rgba[c])
+    for i in range(0, x.shape[-1], args.chunk):
+        for col in stream.push(x[..., i:i + args.chunk]):
+            paint(col)
             n_cols += 1
     for col in stream.flush():
-        wf.add_column(col.rgba)
+        paint(col)
         n_cols += 1
-    write_png(args.output, wf.image())
-    print(f"{args.output}: streamed {n_cols} columns "
+    write_png(args.output, tile_images([wf.image() for wf in wfs]))
+    print(f"{args.output}: streamed {n_cols} columns x{nch}ch "
           f"(reach={stream.reach} hops), waterfall {args.width}x{s.raster_height}")
     return 0
 
@@ -167,14 +184,14 @@ def main(argv=None) -> int:
     pr = sub.add_parser("render", help="render a WAV file to a PNG spectrogram")
     pr.add_argument("input")
     pr.add_argument("output")
-    pr.add_argument("--channel", type=int, default=0)
+    pr.add_argument("--channel", default="0", help="channel index or 'all' (tiled per-channel view)")
     _add_settings_args(pr)
     pr.set_defaults(fn=cmd_render)
 
     ps = sub.add_parser("stream", help="stream a WAV hop-by-hop into a scrolling waterfall PNG")
     ps.add_argument("input")
     ps.add_argument("output")
-    ps.add_argument("--channel", type=int, default=0)
+    ps.add_argument("--channel", default="0", help="channel index or 'all' (tiled per-channel view)")
     ps.add_argument("--chunk", type=int, default=1024, help="samples per push")
     ps.add_argument("--width", type=int, default=1024, help="waterfall columns")
     _add_settings_args(ps)

@@ -59,11 +59,14 @@ class EmSpecApp:
         waterfall. Returns the number of columns painted."""
         self.watcher.poll()
         cols = self.stream.push(samples)
+        ch = self.settings.display_channel
         for c in cols:
-            # multichannel streams display channel 0 (the reference is a
-            # single-view app; per-channel views would each take one slice)
+            # single-view display (like the reference); display_channel is
+            # a continuous setting — switching channels is a host-side
+            # slice, never a recompile (tiled multi-channel output lives in
+            # the render CLI: ``--channel all``)
             self.waterfall.add_column(
-                c.rgba if c.rgba.ndim == 2 else c.rgba[0])
+                c.rgba if c.rgba.ndim == 2 else c.rgba[ch])
         return len(cols)
 
     def image(self) -> np.ndarray:

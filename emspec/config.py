@@ -66,6 +66,10 @@ class Settings:
     agc_strength: float = 1.0           # "AGC Strength"
     smoothing: float = 0.0              # temporal EMA coefficient alpha
     scroll_speed: float = 1.0           # waterfall columns per hop
+    display_channel: int = 0            # which channel the single-view
+                                        # display shows (continuous: a host-
+                                        # side slice, never recompiles; the
+                                        # analysis always runs all channels)
 
     # -------- toggles --------
     auto_gain: bool = True              # "Auto Gain" button = AGC enabled
@@ -104,6 +108,10 @@ class Settings:
             raise ValueError(f"colormap must be one of {COLORMAPS}, got {self.colormap!r}")
         if self.channels < 1:
             raise ValueError("channels must be >= 1")
+        if not (0 <= self.display_channel < self.channels):
+            raise ValueError(
+                f"display_channel {self.display_channel} out of range for "
+                f"{self.channels} channel(s)")
         if not (0.0 <= self.smoothing < 1.0):
             raise ValueError("smoothing must be in [0, 1)")
         if self.scatter not in ("auto", "pallas", "segment_sum"):

@@ -516,11 +516,29 @@ def prewarm(base: Settings, sizes: tuple | None = None,
 def render_image_multires(x, settings: Settings) -> np.ndarray:
     """Audio → (rows, t, 4) uint8 RGBA log-frequency image.
 
-    Multichannel input renders channel 0 (single-view display, matching
-    the app controller)."""
+    Multichannel input renders ``settings.display_channel`` (single-view
+    display, matching the app controller; see render_images_channels for
+    the tiled all-channel output)."""
     pipe = get_pipeline(settings)
     _, rgba, _ = pipe.process(x, params=pipe.params(settings))
     img = np.asarray(rgba)            # (t, [ch,] rows, 4)
     if img.ndim == 4:
-        img = img[:, 0]
+        img = img[:, settings.display_channel]
     return img.transpose(1, 0, 2)[::-1]
+
+
+def render_images_channels(x, settings: Settings) -> list[np.ndarray]:
+    """Multichannel audio (ch, samples) → one (rows, t, 4) log-frequency
+    image per channel, from a single batched pipeline pass (the stress
+    config's 16 rasters become inspectable — tile with
+    ``emspec.render.png.tile_images``)."""
+    x = np.asarray(x, np.float32)
+    if x.ndim == 1:
+        x = x[None]
+    s = settings.replace(channels=x.shape[0], display_channel=0)
+    pipe = get_pipeline(s)
+    _, rgba, _ = pipe.process(x, params=pipe.params(s))
+    img = np.asarray(rgba)            # (t, ch, rows, 4)
+    if img.ndim == 3:
+        img = img[:, None]
+    return [img[:, c].transpose(1, 0, 2)[::-1] for c in range(img.shape[1])]

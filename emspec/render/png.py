@@ -15,6 +15,30 @@ from pathlib import Path
 import numpy as np
 
 
+def tile_images(images: list[np.ndarray], pad: int = 2,
+                pad_value: int = 32) -> np.ndarray:
+    """Tile per-channel rasters into one near-square grid image
+    (VERDICT round-1 #7: make multichannel output inspectable).
+
+    images: list of (H, W, 4) uint8, all the same shape →
+    (grid_h·H + pads, grid_w·W + pads, 4) uint8 with thin separators."""
+    n = len(images)
+    if n == 1:
+        return images[0]
+    h, w, c = images[0].shape
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = -(-n // cols)
+    out = np.full((rows * h + (rows - 1) * pad,
+                   cols * w + (cols - 1) * pad, c), pad_value, np.uint8)
+    if c == 4:
+        out[..., 3] = 255
+    for i, img in enumerate(images):
+        r, col = divmod(i, cols)
+        y, x = r * (h + pad), col * (w + pad)
+        out[y:y + h, x:x + w] = img
+    return out
+
+
 def write_png(path: str | Path, rgba: np.ndarray) -> None:
     """Write (H, W, 4) uint8 RGBA (or (H, W, 3) RGB) as a PNG file."""
     img = np.asarray(rgba)

@@ -6,9 +6,13 @@ The image ring lives on device and is updated in place with donated
 buffers; only a full-image read-out (or nothing at all, in benchmarks)
 crosses to the host (SURVEY.md §2.3 "scrolling waterfall").
 
-Scroll-speed semantics [INF]: columns-per-hop.  speed 1.0 → every hop
-paints one pixel column; 0.5 → every second hop; 2.0 → each hop paints
-two (duplicated) columns, scrolling twice as fast.
+Scroll-speed semantics (docs/DESIGN.md §9): analysis cadence (hop) is
+fixed — Scroll Speed is a *display* rate in pixel-columns per hop.
+speed 1.0 → every hop paints one pixel column; 0.5 → every second hop
+paints the **average** of the two analyzed columns (energy-preserving
+decimation — round 1 discarded the off-phase columns); 2.0 → each hop
+paints two (duplicated) columns, scrolling twice as fast.  At speed 1.0
+the painted column is bit-identical to the emitted column.
 """
 
 from __future__ import annotations
@@ -27,6 +31,11 @@ def _advance(buf, head, column, steps):
     return jax.lax.fori_loop(0, steps, body, (buf, head))
 
 
+def _mean_u8(acc, n):
+    """Rounded mean of the accumulated float columns → uint8."""
+    return jnp.round(acc / n).astype(jnp.uint8)
+
+
 class Waterfall:
     """Fixed-width scrolling raster of RGBA columns."""
 
@@ -37,11 +46,16 @@ class Waterfall:
         self._buf = jnp.zeros((self.width, self.rows, 4), jnp.uint8)
         self._head = jnp.int32(0)
         self._phase = 0.0          # fractional columns owed (host scalar)
+        self._acc = None           # float32 sum of columns since last paint
+        self._acc_n = 0
         self._advance = jax.jit(_advance, donate_argnums=0, static_argnums=3)
+        self._mean = jax.jit(_mean_u8, static_argnums=1)
 
     def add_column(self, rgba_column: jax.Array) -> None:
         """rgba_column: (rows, 4) uint8 (device). Paints 0+ pixel columns
-        according to scroll speed; stays on device."""
+        according to scroll speed; stays on device.  Sub-1 speeds average
+        every analyzed column into the painted pixel (nothing analyzed is
+        discarded)."""
         if rgba_column.ndim != 2:
             raise ValueError(
                 f"add_column expects one (rows, 4) column, got shape "
@@ -50,10 +64,20 @@ class Waterfall:
         self._phase += self.scroll_speed
         steps = int(self._phase)
         self._phase -= steps
+        if self._acc is None:
+            self._acc = rgba_column.astype(jnp.float32)
+            self._acc_n = 1
+        else:
+            self._acc = self._acc + rgba_column.astype(jnp.float32)
+            self._acc_n += 1
         if steps == 0:
             return
+        column = (rgba_column if self._acc_n == 1
+                  else self._mean(self._acc, self._acc_n))
+        self._acc = None
+        self._acc_n = 0
         self._buf, self._head = self._advance(
-            self._buf, self._head, rgba_column, steps)
+            self._buf, self._head, column, steps)
 
     def image(self) -> np.ndarray:
         """Host copy, oldest column left, bass at the bottom: (rows, width, 4)."""

@@ -58,6 +58,35 @@ def test_render_cli_writes_png(tmp_path, capsys):
     assert out.exists() and out.stat().st_size > 100
 
 
+def test_render_cli_all_channels_tiled(tmp_path, capsys):
+    """--channel all renders every channel and tiles them into one PNG
+    (VERDICT #7: multichannel output must be inspectable)."""
+    wav = tmp_path / "st.wav"
+    x = np.stack([np.asarray(synth.tone(440.0, 0.4)),
+                  np.asarray(synth.tone(880.0, 0.4))])
+    write_wav(wav, x, 48_000)
+    out = tmp_path / "tiled.png"
+    rc = main(["render", str(wav), str(out), "--channel", "all",
+               "--mode", "enhanced", "--multires"])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "2 channels tiled" in msg
+    assert out.exists()
+
+
+def test_stream_cli_all_channels(tmp_path, capsys):
+    wav = tmp_path / "st2.wav"
+    x = np.stack([np.asarray(synth.tone(300.0, 0.3)),
+                  np.asarray(synth.tone(1200.0, 0.3))])
+    write_wav(wav, x, 48_000)
+    out = tmp_path / "wf.png"
+    rc = main(["stream", str(wav), str(out), "--channel", "all",
+               "--no-multires", "--fft-size", "1024", "--width", "64"])
+    assert rc == 0
+    assert "x2ch" in capsys.readouterr().out
+    assert out.exists()
+
+
 def test_note_cli(capsys):
     assert main(["note", "440"]) == 0
     assert "A4" in capsys.readouterr().out

@@ -142,6 +142,51 @@ def test_global_agc_couples_channels():
     assert abs(refs2[0] - refs2[1]) > 1.0                  # decoupled differ
 
 
+def test_waterfall_fractional_speed_averages():
+    """Scroll speed 0.5 paints the AVERAGE of the two analyzed columns —
+    analyzed data is decimated, not discarded (DESIGN.md §9; round-1
+    semantics dropped the off-phase column)."""
+    import jax.numpy as jnp
+    wf = Waterfall(8, 4, scroll_speed=0.5)
+    a = jnp.full((4, 4), 100, jnp.uint8)
+    b = jnp.full((4, 4), 200, jnp.uint8)
+    wf.add_column(a)        # phase 0.5 — accumulates, paints nothing
+    wf.add_column(b)        # phase 1.0 — paints mean(a, b) = 150
+    img = wf.image()        # (rows, width, 4); newest column rightmost
+    np.testing.assert_array_equal(img[:, -1],
+                                  np.full((4, 4), 150, np.uint8))
+
+
+def test_waterfall_speed_one_bit_identical():
+    """At speed 1.0 the painted column is the emitted column exactly (no
+    float round-trip)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    col = jnp.asarray(rng.integers(0, 256, (4, 4)).astype(np.uint8))
+    wf = Waterfall(4, 4, scroll_speed=1.0)
+    wf.add_column(col)
+    # newest column is rightmost; image flips rows (bass at bottom)
+    np.testing.assert_array_equal(wf.image()[:, -1], np.asarray(col)[::-1])
+
+
+def test_tile_images_grid():
+    from emspec.render.png import tile_images
+    imgs = [np.full((4, 6, 4), i, np.uint8) for i in range(5)]
+    out = tile_images(imgs, pad=2)
+    # 5 images → 3x2 grid: width 3*6+2*2=22, height 2*4+2=10
+    assert out.shape == (10, 22, 4)
+    assert out[0, 0, 0] == 0 and out[0, 8, 0] == 1
+
+
+def test_display_channel_is_continuous():
+    """Switching the displayed channel must never recompile (VERDICT #7)."""
+    from emspec.config import is_structural_change
+    s = Settings(channels=2)
+    assert not is_structural_change(s, s.replace(display_channel=1))
+    with pytest.raises(ValueError):
+        Settings(channels=2, display_channel=5)
+
+
 def test_staging_overlaps_compute():
     """Double-buffered prefetch contract [NS north_star]: the host→HBM
     copy (device_put) for hop t+1 must be ISSUED before the step for hop
