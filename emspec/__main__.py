@@ -114,6 +114,16 @@ def cmd_stream(args) -> int:
 
 
 def cmd_live(args) -> int:
+    if args.capture:
+        from emspec.render.terminal import live_capture_view
+        s = _settings_from(args, args.sample_rate, multires_default=True)
+        n = live_capture_view(s, backend=args.backend,
+                              duration=args.duration, width=args.width)
+        print(f"\ndisplayed {n} columns ({args.backend} capture)")
+        return 0
+    if not args.input:
+        print("live: provide a WAV file or use --capture", file=sys.stderr)
+        return 1
     from emspec.io.wav import read_wav
     from emspec.render.terminal import live_view
 
@@ -198,10 +208,21 @@ def main(argv=None) -> int:
     ps.set_defaults(fn=cmd_stream)
 
     pl = sub.add_parser("live", help="live terminal waterfall (ANSI truecolor)")
-    pl.add_argument("input")
+    pl.add_argument("input", nargs="?", default=None,
+                    help="WAV file (omit with --capture)")
     pl.add_argument("--width", type=int, default=512)
     pl.add_argument("--fast", action="store_true",
                     help="render as fast as possible instead of audio-rate")
+    pl.add_argument("--capture", action="store_true",
+                    help="visualize live captured audio instead of a file "
+                         "(README.md:36 behavior)")
+    pl.add_argument("--backend", choices=["auto", "sounddevice", "synthetic"],
+                    default="auto", help="capture backend (auto: real device "
+                                         "if sounddevice is installed, else "
+                                         "synthetic test source)")
+    pl.add_argument("--duration", type=float, default=10.0,
+                    help="capture run time in seconds")
+    pl.add_argument("--sample-rate", type=int, default=48_000)
     _add_settings_args(pl)
     pl.set_defaults(fn=cmd_live)
 

@@ -1,0 +1,146 @@
+"""Live audio capture sources (closes the L1 ingest tail — VERDICT #5).
+
+The reference taps system audio through its desktop shell
+(reference: README.md:36 "automatically start visualizing your system
+audio"); reproducing an OS loopback driver is out of scope (SURVEY.md
+§2.4), but the *callback contract* is not: a capture source is anything
+that invokes ``sink(chunk)`` with float32 ``(channels, k)`` sample blocks
+at real-time rate from its own thread.  Two backends:
+
+* ``sounddevice`` — a real microphone/loopback input via the PortAudio
+  binding, used when the optional ``sounddevice`` package is importable
+  (it is not vendored; the CLI and tests skip cleanly without it).
+* ``synthetic`` — a thread that synthesizes a glide-plus-partials test
+  signal and delivers it in capture-callback-sized blocks *paced to the
+  sample clock*.  This is not just a test double: it exercises the exact
+  producer path (thread → push → ring seqlock → overrun skip-ahead) a
+  device callback uses, so the contract stays tested on machines with no
+  audio hardware (every CI box, and this one).
+
+Usage: ``python -m emspec live --capture [--backend synthetic]``.
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import time
+from typing import Callable
+
+import numpy as np
+
+Sink = Callable[[np.ndarray], None]
+
+
+class CaptureUnavailable(RuntimeError):
+    """Requested capture backend cannot run on this machine."""
+
+
+class SyntheticCapture:
+    """Real-time-paced synthetic capture source (callback producer).
+
+    Generates a slow exponential glide plus two fixed partials and a
+    noise floor — enough spectral movement to eyeball the live display —
+    in ``block`` sized chunks delivered no faster than the sample clock.
+    """
+
+    def __init__(self, sink: Sink, sample_rate: int = 48_000,
+                 channels: int = 1, block: int = 512):
+        self.sink = sink
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.block = int(block)
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _run(self) -> None:
+        sr = self.sample_rate
+        pos = 0
+        phase = 0.0
+        t0 = time.perf_counter()
+        while not self._stop.is_set():
+            n = self.block
+            t = (pos + np.arange(n)) / sr
+            # glide 110 Hz → 1760 Hz over 8 s, wrapped (phase-continuous)
+            f = 110.0 * (16.0 ** ((t % 8.0) / 8.0))
+            phase_inc = 2 * np.pi * f / sr
+            ph = phase + np.cumsum(phase_inc)
+            phase = float(ph[-1] % (2 * np.pi))
+            x = (0.5 * np.sin(ph)
+                 + 0.15 * np.sin(2 * np.pi * 440.0 * t)
+                 + 0.1 * np.sin(2 * np.pi * 2500.0 * t)
+                 + 0.005 * np.random.default_rng(pos).standard_normal(n))
+            chunk = np.broadcast_to(
+                x.astype(np.float32), (self.channels, n)).copy()
+            self.sink(chunk)
+            pos += n
+            # pace to the sample clock (a real device callback arrives at
+            # exactly this cadence)
+            target = t0 + pos / sr
+            delay = target - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+
+
+class SoundDeviceCapture:
+    """Microphone / loopback input via the optional ``sounddevice``
+    package (PortAudio).  The callback pushes float32 (channels, k)
+    blocks into the sink — the same contract as SyntheticCapture."""
+
+    def __init__(self, sink: Sink, sample_rate: int = 48_000,
+                 channels: int = 1, block: int = 512, device=None):
+        try:
+            import sounddevice as sd
+        except ImportError as e:
+            raise CaptureUnavailable(
+                "the 'sounddevice' package is not installed; use "
+                "--backend synthetic or install sounddevice") from e
+        self._sd = sd
+        self.sink = sink
+        self.sample_rate = int(sample_rate)
+        self.channels = int(channels)
+        self.block = int(block)
+        self.device = device
+        self._stream = None
+
+    def _callback(self, indata, frames, time_info, status) -> None:
+        # indata: (frames, channels) float32 → (channels, frames)
+        self.sink(np.ascontiguousarray(indata.T, dtype=np.float32))
+
+    def start(self) -> None:
+        self._stream = self._sd.InputStream(
+            samplerate=self.sample_rate, channels=self.channels,
+            blocksize=self.block, dtype="float32", device=self.device,
+            callback=self._callback)
+        self._stream.start()
+
+    def stop(self) -> None:
+        if self._stream is not None:
+            self._stream.stop()
+            self._stream.close()
+            self._stream = None
+
+
+def open_capture(sink: Sink, backend: str = "auto", sample_rate: int = 48_000,
+                 channels: int = 1, block: int = 512):
+    """Capture factory.  ``auto`` prefers a real device (sounddevice) and
+    falls back to the synthetic source so ``emspec live --capture`` always
+    shows something."""
+    if backend not in ("auto", "sounddevice", "synthetic"):
+        raise ValueError(f"unknown capture backend: {backend!r}")
+    if backend in ("auto", "sounddevice"):
+        try:
+            return SoundDeviceCapture(sink, sample_rate, channels, block)
+        except CaptureUnavailable:
+            if backend == "sounddevice":
+                raise
+    return SyntheticCapture(sink, sample_rate, channels, block)

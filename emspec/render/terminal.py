@@ -96,3 +96,48 @@ def live_view(source, settings, width: int = 512,
         out.write(_SHOW + _RESET)
         out.flush()
     return n_cols
+
+
+def live_capture_view(settings, backend: str = "auto", duration: float = 10.0,
+                      width: int = 512, out=sys.stdout,
+                      block: int = 512) -> int:
+    """Live-capture terminal waterfall (reference: README.md:36 "start
+    visualizing your system audio").
+
+    The capture backend's callback thread is the single producer (it
+    writes straight into the stream's lock-free ring); this thread is the
+    single reader, draining analysis hops and painting at ~30 fps — the
+    exact producer/consumer split a desktop shell's audio callback uses.
+    Returns the number of columns displayed."""
+    import time
+
+    from emspec.io.capture import open_capture
+    from emspec.render.waterfall import Waterfall
+    from emspec.stream import Stream
+
+    s = settings
+    st = Stream(s)
+    wf = Waterfall(width, s.raster_height, s.scroll_speed)
+    ch = s.channels
+    cap = open_capture(st.ring.push, backend=backend,
+                       sample_rate=s.sample_rate, channels=ch, block=block)
+    empty = (np.zeros((ch, 0), np.float32) if ch > 1
+             else np.zeros(0, np.float32))
+    n_cols = 0
+    out.write(_CLEAR + _HIDE)
+    cap.start()
+    try:
+        t_end = time.perf_counter() + duration
+        while time.perf_counter() < t_end:
+            for col in st.push(empty):        # drain whatever has arrived
+                wf.add_column(col.rgba if col.rgba.ndim == 2
+                              else col.rgba[s.display_channel])
+                n_cols += 1
+            out.write(_HOME + frame_to_ansi(wf.image()) + "\n")
+            out.flush()
+            time.sleep(1.0 / 30.0)
+    finally:
+        cap.stop()
+        out.write(_SHOW + _RESET)
+        out.flush()
+    return n_cols
