@@ -169,6 +169,22 @@ def cmd_presets(args) -> int:
     return 0
 
 
+def cmd_gui(args) -> int:
+    """Window-shell analog: serve the live display + settings panel on a
+    local web page (reference README.md:13,35-39; degrade to ``emspec
+    live`` in terminals — the raster boundary is the same)."""
+    from emspec.shell import ShellServer
+
+    source = "wav" if args.input else args.backend
+    s = _settings_from(args, args.sample_rate, multires_default=True)
+    srv = ShellServer(s, port=args.port, source=source, wav_path=args.input,
+                      user_dir=args.user_dir)
+    print(f"emspec shell: http://127.0.0.1:{srv.port}/  "
+          f"(source={source}, Ctrl-C to quit)")
+    srv.serve_forever(duration=args.duration)
+    return 0
+
+
 def cmd_bench(args) -> int:
     from emspec.bench.harness import run_benchmarks, write_profiler_trace
     if args.trace:
@@ -238,6 +254,21 @@ def main(argv=None) -> int:
     pp.add_argument("--channels", type=int, default=1)
     _add_settings_args(pp)
     pp.set_defaults(fn=cmd_presets)
+
+    pg = sub.add_parser("gui", help="window-shell analog: local web page "
+                                    "with live display + settings panel")
+    pg.add_argument("input", nargs="?", default=None,
+                    help="WAV file to loop (default: live capture)")
+    pg.add_argument("--port", type=int, default=7780)
+    pg.add_argument("--backend", choices=["auto", "sounddevice", "synthetic"],
+                    default="auto", help="capture backend when no WAV given")
+    pg.add_argument("--duration", type=float, default=0.0,
+                    help="serve for N seconds (0 = until Ctrl-C)")
+    pg.add_argument("--sample-rate", type=int, default=48_000)
+    pg.add_argument("--user-dir", default=".emspec",
+                    help="presets + live_state.json directory")
+    _add_settings_args(pg)
+    pg.set_defaults(fn=cmd_gui)
 
     pb = sub.add_parser("bench", help="run the performance harness")
     pb.add_argument("--quick", action="store_true")

@@ -1,0 +1,202 @@
+"""The shell's single-page UI (embedded: the shell must run from a bare
+checkout with zero web tooling).  Mirrors the reference settings panel
+(reference: assets/settings.png — FFT Size, Colormap, Brightness, dB
+Range, Gain, Freq Scale, Low End Boost, Noise Gate, AGC Strength,
+Smoothing, Scroll Speed, preset dropdown, Enhanced/Natural/On Top/Auto
+Gain buttons, version header) over the HTTP API in server.py."""
+
+PAGE = r"""<!DOCTYPE html>
+<html>
+<head>
+<meta charset="utf-8">
+<title>emspec</title>
+<style>
+  :root { color-scheme: dark; }
+  body { margin:0; background:#0d0d10; color:#ddd;
+         font:13px system-ui, sans-serif; display:flex; }
+  #view { flex:1; display:flex; align-items:center; justify-content:center;
+          min-height:100vh; position:relative; }
+  canvas { image-rendering: pixelated; width:100%; height:100%;
+           max-height:100vh; object-fit:fill; }
+  #panel { width:300px; padding:14px; background:#16161c; overflow-y:auto;
+           max-height:100vh; box-sizing:border-box; border-left:1px solid #26262e; }
+  h1 { font-size:15px; margin:0 0 2px; }
+  .ver { color:#777; font-size:11px; margin-bottom:10px; }
+  label { display:block; margin:10px 0 2px; color:#aaa; font-size:11px;
+          text-transform:uppercase; letter-spacing:.05em; }
+  .val { float:right; color:#eee; }
+  input[type=range] { width:100%; }
+  select, button { background:#22222a; color:#ddd; border:1px solid #333;
+                   border-radius:4px; padding:4px 8px; }
+  select { width:100%; }
+  .row { display:flex; gap:6px; margin-top:8px; }
+  .row button { flex:1; }
+  button.on { background:#5a3dbd; border-color:#7a5de0; }
+  #tip { position:absolute; pointer-events:none; background:#000c;
+         padding:3px 7px; border-radius:4px; font-size:12px; display:none; }
+  #status { margin-top:12px; color:#6a6; font-size:11px; min-height:14px; }
+  #minimized { position:absolute; inset:0; background:#0d0d10f0;
+               display:none; align-items:center; justify-content:center;
+               color:#888; font-size:18px; }
+</style>
+</head>
+<body>
+<div id="view">
+  <canvas id="c"></canvas>
+  <div id="tip"></div>
+  <div id="minimized">minimized (Max-for-Live) — restore in Ableton</div>
+</div>
+<div id="panel">
+  <h1>EM-Spec <span style="color:#7a5de0">tpu</span></h1>
+  <div class="ver" id="version"></div>
+
+  <label>Preset</label>
+  <select id="preset"></select>
+  <div class="row">
+    <button onclick="presetOp('save')">Add/Save</button>
+    <button onclick="presetOp('delete')">Delete</button>
+  </div>
+
+  <div class="row">
+    <button id="mode_enhanced" onclick="setS({mode:'enhanced'})">Enhanced</button>
+    <button id="mode_natural" onclick="setS({mode:'natural'})">Natural</button>
+  </div>
+  <div class="row">
+    <button id="on_top" onclick="toggle('on_top')">On Top</button>
+    <button id="auto_gain" onclick="toggle('auto_gain')">Auto Gain</button>
+  </div>
+
+  <label>FFT Size</label>
+  <select id="fft_size" onchange="setS({fft_size:+this.value})"></select>
+  <label>Colormap</label>
+  <select id="colormap" onchange="setS({colormap:this.value})"></select>
+
+  <div id="sliders"></div>
+  <div id="status"></div>
+</div>
+<script>
+const SLIDERS = [
+  ["brightness",   0, 1,    0.01, v=>Math.round(v*100)+"%"],
+  ["db_range",     20, 120, 1,    v=>v],
+  ["gain",         0.1, 16, 0.1,  v=>v],
+  ["freq_scale",   0.25, 4, 0.05, v=>v],
+  ["low_end_boost",1, 10,   0.1,  v=>v+"x"],
+  ["noise_gate_db",-120, 0, 1,    v=>v+" dB"],
+  ["agc_strength", 0, 2,    0.05, v=>v],
+  ["smoothing",    0, 0.99, 0.01, v=>v],
+  ["scroll_speed", 0.25, 4, 0.25, v=>v+"x"],
+];
+const NAMES = {brightness:"Brightness", db_range:"dB Range", gain:"Gain",
+  freq_scale:"Freq Scale", low_end_boost:"Low End Boost",
+  noise_gate_db:"Noise Gate", agc_strength:"AGC Strength",
+  smoothing:"Smoothing", scroll_speed:"Scroll Speed"};
+let S = null;
+
+function el(id){ return document.getElementById(id); }
+
+function buildPanel(meta) {
+  el("version").textContent = "Current Version: v" + meta.version +
+    "  ·  backend: " + meta.backend;
+  for (const n of meta.fft_sizes) {
+    const o = document.createElement("option"); o.value=o.textContent=n;
+    el("fft_size").appendChild(o);
+  }
+  for (const n of meta.colormaps) {
+    const o = document.createElement("option"); o.value=o.textContent=n;
+    el("colormap").appendChild(o);
+  }
+  const holder = el("sliders");
+  for (const [f, lo, hi, st, fmt] of SLIDERS) {
+    const lab = document.createElement("label");
+    lab.innerHTML = NAMES[f] + ' <span class="val" id="val_'+f+'"></span>';
+    const r = document.createElement("input");
+    r.type="range"; r.min=lo; r.max=hi; r.step=st; r.id="sl_"+f;
+    r.oninput = () => { el("val_"+f).textContent = fmt(+r.value);
+                        setS({[f]: +r.value}); };
+    holder.appendChild(lab); holder.appendChild(r);
+  }
+}
+
+function reflect() {
+  for (const [f,,,,fmt] of SLIDERS) {
+    el("sl_"+f).value = S[f]; el("val_"+f).textContent = fmt(S[f]);
+  }
+  el("fft_size").value = S.fft_size;
+  el("colormap").value = S.colormap;
+  el("mode_enhanced").className = S.mode==="enhanced" ? "on":"";
+  el("mode_natural").className = S.mode==="natural" ? "on":"";
+  el("on_top").className = S.on_top ? "on":"";
+  el("auto_gain").className = S.auto_gain ? "on":"";
+}
+
+async function setS(changes) {
+  const r = await fetch("/api/settings", {method:"POST",
+    body: JSON.stringify(changes)});
+  const d = await r.json();
+  S = d.settings;
+  el("status").textContent = d.kind === "continuous"
+    ? "continuous — no recompile"
+    : d.kind === "structural" ? "structural — re-specialized" : "";
+  reflect();
+}
+function toggle(f){ setS({[f]: !S[f]}); }
+
+async function presetOp(op) {
+  const sel = el("preset");
+  let name = sel.value;
+  if (op === "save") { name = prompt("preset name", name || "Custom");
+                       if (!name) return; }
+  await fetch("/api/preset/"+op+"?name="+encodeURIComponent(name),
+              {method:"POST"});
+  loadPresets();
+}
+async function loadPresets() {
+  const names = await (await fetch("/api/presets")).json();
+  const sel = el("preset"); sel.innerHTML="";
+  for (const n of names) { const o=document.createElement("option");
+    o.value=o.textContent=n; sel.appendChild(o); }
+  sel.onchange = async () => {
+    const r = await fetch("/api/preset/load?name="+
+      encodeURIComponent(sel.value), {method:"POST"});
+    S = (await r.json()).settings; reflect();
+  };
+}
+
+const canvas = el("c"), ctx2d = canvas.getContext("2d");
+async function frameLoop() {
+  try {
+    const r = await fetch("/api/frame");
+    const buf = await r.arrayBuffer();
+    const dv = new DataView(buf);
+    const h = dv.getUint32(0), w = dv.getUint32(4);
+    if (canvas.width !== w) { canvas.width = w; canvas.height = h; }
+    const img = new ImageData(new Uint8ClampedArray(buf, 8), w, h);
+    ctx2d.putImageData(img, 0, 0);
+    const st = await (await fetch("/api/state")).json();
+    el("minimized").style.display = st.paused ? "flex" : "none";
+    document.title = (S && S.on_top ? "📌 " : "") + "emspec";
+  } catch (e) {}
+  setTimeout(frameLoop, 66);
+}
+
+canvas.addEventListener("mousemove", async (ev) => {
+  const tip = el("tip");
+  if (!ev.shiftKey) { tip.style.display="none"; return; }
+  const rect = canvas.getBoundingClientRect();
+  const frac = 1 - (ev.clientY - rect.top) / rect.height;
+  const r = await fetch("/api/hover?frac="+frac.toFixed(4));
+  tip.textContent = await r.text();
+  tip.style.left = (ev.clientX+14)+"px"; tip.style.top = (ev.clientY+8)+"px";
+  tip.style.display = "block";
+});
+
+(async () => {
+  const meta = await (await fetch("/api/meta")).json();
+  buildPanel(meta);
+  S = await (await fetch("/api/settings")).json();
+  reflect(); loadPresets(); frameLoop();
+})();
+</script>
+</body>
+</html>
+"""

@@ -1,0 +1,236 @@
+"""Window-shell analog: a zero-dependency local web shell over EmSpecApp
+(VERDICT round-1 #4 — the last large reference-surface gap).
+
+The reference is a frameless desktop window with a settings panel
+(reference: README.md:13,35-39; assets/settings.png); its shell duties
+are: blit the raster, host the live settings surface, show the hover
+tooltip, honor On-Top, and mirror Ableton's Info View via the
+``live_state.json`` watcher (docs/MAX-FOR-LIVE.md).  This shell serves
+exactly those duties over HTTP from the stdlib — ``python -m emspec gui``
+opens a browser page; headless environments keep the terminal view
+(``emspec live``), and every endpoint is testable without a browser.
+
+Threading model: the capture/WAV feeder thread is the ring's single
+producer; one worker thread drains analysis hops and paints the
+waterfall; HTTP handler threads only read snapshots or apply settings —
+every EmSpecApp mutation happens under one lock, so the
+continuous-vs-structural contract (§3.3) is exercised exactly as the
+app controller defines it (the /api/settings response reports which kind
+each change was — the page displays "no recompile" live).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from emspec.app import EmSpecApp
+from emspec.config import COLORMAPS, FFT_SIZES, Settings
+
+
+class ShellServer:
+    """Owns the app, the feeder, the drain worker, and the HTTP server."""
+
+    def __init__(self, settings: Settings | None = None, port: int = 0,
+                 source: str = "synthetic", wav_path: str | None = None,
+                 user_dir: str = ".emspec"):
+        self.app = EmSpecApp(settings, user_dir=user_dir)
+        self.lock = threading.RLock()
+        self._stop = threading.Event()
+        self._source_kind = source
+        self._wav_path = wav_path
+        self._capture = None
+        self._feeder = None
+        self._worker = None
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port),
+                                         self._make_handler())
+        self.port = self.httpd.server_address[1]
+
+    # --------------------------------------------------------------- feeding
+    def _ring_push(self, chunk: np.ndarray) -> None:
+        # the app's stream is swapped on structural changes; resolve at
+        # call time so the feeder survives re-specialization
+        st = self.app.stream
+        if st.channels == 1 and chunk.ndim == 2:
+            chunk = chunk[0]
+        st.ring.push(chunk)
+
+    def _start_feeder(self) -> None:
+        if self._source_kind == "wav":
+            x_all, rate = self._load_wav()
+
+            def run():
+                pos = 0
+                block = max(rate // 50, 256)
+                t0 = time.perf_counter()
+                sent = 0
+                while not self._stop.is_set():
+                    chunk = x_all[..., pos:pos + block]
+                    if chunk.shape[-1] < block:       # loop the file
+                        pos = 0
+                        continue
+                    self._ring_push(chunk)
+                    pos += block
+                    sent += block
+                    delay = t0 + sent / rate - time.perf_counter()
+                    if delay > 0:
+                        time.sleep(delay)
+            self._feeder = threading.Thread(target=run, daemon=True)
+            self._feeder.start()
+        else:
+            from emspec.io.capture import open_capture
+            s = self.app.settings
+            self._capture = open_capture(
+                self._ring_push, backend=self._source_kind,
+                sample_rate=s.sample_rate, channels=s.channels)
+            self._capture.start()
+
+    def _load_wav(self):
+        from emspec.io.wav import read_wav
+        audio, rate = read_wav(self._wav_path)
+        s = self.app.settings
+        if rate != s.sample_rate:
+            with self.lock:
+                self.app.apply_settings(s.replace(sample_rate=rate))
+        return audio.astype(np.float32), rate
+
+    def _drain_loop(self) -> None:
+        ch = self.app.settings.channels
+        empty = (np.zeros((ch, 0), np.float32) if ch > 1
+                 else np.zeros(0, np.float32))
+        while not self._stop.is_set():
+            with self.lock:
+                self.app.push_audio(empty)
+            time.sleep(1.0 / 60.0)
+
+    # --------------------------------------------------------------- control
+    def start(self) -> None:
+        self._start_feeder()
+        self._worker = threading.Thread(target=self._drain_loop, daemon=True)
+        self._worker.start()
+        threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._capture is not None:
+            self._capture.stop()
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+    def serve_forever(self, duration: float = 0.0) -> None:
+        """Blocking run; duration 0 = until KeyboardInterrupt."""
+        self.start()
+        try:
+            if duration > 0:
+                time.sleep(duration)
+            else:
+                while True:
+                    time.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    # ------------------------------------------------------------------ HTTP
+    def _make_handler(self):
+        shell = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):       # quiet
+                pass
+
+            def _send(self, body: bytes, ctype: str, code: int = 200):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _json(self, obj, code: int = 200):
+                self._send(json.dumps(obj).encode(), "application/json", code)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                app = shell.app
+                if url.path == "/":
+                    from emspec.shell.page import PAGE
+                    self._send(PAGE.encode(), "text/html; charset=utf-8")
+                elif url.path == "/api/meta":
+                    import jax
+                    from emspec import __version__
+                    self._json({"version": __version__,
+                                "backend": jax.default_backend(),
+                                "fft_sizes": list(FFT_SIZES),
+                                "colormaps": list(COLORMAPS)})
+                elif url.path == "/api/settings":
+                    self._json(app.settings.to_dict())
+                elif url.path == "/api/frame":
+                    with shell.lock:
+                        img = app.image()            # (rows, width, 4)
+                    body = (struct.pack(">II", img.shape[0], img.shape[1])
+                            + np.ascontiguousarray(img).tobytes())
+                    self._send(body, "application/octet-stream")
+                elif url.path == "/api/state":
+                    self._json({"paused": app.stream._paused,
+                                "on_top": app.settings.on_top,
+                                "dropped_frames": app.stream.dropped_frames})
+                elif url.path == "/api/hover":
+                    frac = float(q.get("frac", ["0"])[0])
+                    rows = app.settings.raster_height
+                    row = int(np.clip(round(frac * (rows - 1)), 0, rows - 1))
+                    with shell.lock:
+                        text = app.hover(row)
+                    self._send(text.encode(), "text/plain; charset=utf-8")
+                elif url.path == "/api/presets":
+                    self._json(app.presets.names())
+                else:
+                    self._json({"error": "not found"}, 404)
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                q = parse_qs(url.query)
+                app = shell.app
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b"{}"
+                if url.path == "/api/settings":
+                    try:
+                        changes = json.loads(body)
+                        with shell.lock:
+                            kind = app.set(**changes)
+                    except (ValueError, TypeError) as e:
+                        self._json({"error": str(e)}, 400)
+                        return
+                    self._json({"kind": kind,
+                                "settings": app.settings.to_dict()})
+                elif url.path.startswith("/api/preset/"):
+                    op = url.path.rsplit("/", 1)[1]
+                    name = q.get("name", ["Default"])[0]
+                    try:
+                        with shell.lock:
+                            if op == "save":
+                                app.save_preset(name)
+                                kind = "saved"
+                            elif op == "load":
+                                kind = app.load_preset(name)
+                            elif op == "delete":
+                                app.delete_preset(name)
+                                kind = "deleted"
+                            else:
+                                self._json({"error": "unknown op"}, 404)
+                                return
+                    except (KeyError, ValueError) as e:
+                        self._json({"error": str(e)}, 400)
+                        return
+                    self._json({"kind": kind,
+                                "settings": app.settings.to_dict()})
+                else:
+                    self._json({"error": "not found"}, 404)
+
+        return Handler

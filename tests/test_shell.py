@@ -1,0 +1,128 @@
+"""Window-shell analog tests (VERDICT #4): every shell duty exercised
+headlessly over HTTP — live raster, settings panel with the interactive
+continuous-vs-structural contract, Shift+hover tooltip, preset CRUD,
+On-Top flag, and M4L minimize/restore wired through the real
+live_state.json watcher."""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from emspec.config import Settings
+from emspec.shell import ShellServer
+
+
+@pytest.fixture()
+def shell(tmp_path):
+    s = Settings(mode="natural", multires=False, fft_size=1024,
+                 raster_height=128, raster_width=256, hop=256)
+    srv = ShellServer(s, port=0, source="synthetic",
+                      user_dir=tmp_path / "userdir")
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}",
+                                timeout=10) as r:
+        return r.read()
+
+
+def _post(srv, path, payload=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload or {}).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_page_and_meta(shell):
+    page = _get(shell, "/").decode()
+    assert "<canvas" in page and "Freq Scale" in page
+    meta = json.loads(_get(shell, "/api/meta"))
+    assert 4096 in meta["fft_sizes"] and "inferno" in meta["colormaps"]
+    assert meta["version"]
+
+
+def test_frame_updates_live(shell):
+    def grab():
+        raw = _get(shell, "/api/frame")
+        h = int.from_bytes(raw[:4], "big")
+        w = int.from_bytes(raw[4:8], "big")
+        return np.frombuffer(raw[8:], np.uint8).reshape(h, w, 4)
+    time.sleep(1.0)                    # let capture fill some columns
+    a = grab()
+    assert a.shape == (128, 256, 4)
+    time.sleep(0.8)
+    b = grab()
+    assert a.any() or b.any()
+    assert not np.array_equal(a, b)    # the display is actually scrolling
+
+
+def test_settings_contract_over_http(shell):
+    """The no-recompile contract, interactively: sliders report
+    'continuous', FFT size reports 'structural' (SURVEY.md §3.3)."""
+    r = _post(shell, "/api/settings", {"gain": 9.0})
+    assert r["kind"] == "continuous" and r["settings"]["gain"] == 9.0
+    r = _post(shell, "/api/settings", {"colormap": "viridis"})
+    assert r["kind"] == "continuous"
+    r = _post(shell, "/api/settings", {"fft_size": 2048})
+    assert r["kind"] == "structural"
+    r = _post(shell, "/api/settings", {"fft_size": 2048})
+    assert r["kind"] == "noop"
+    # invalid values surface as HTTP 400, not a dead shell
+    with pytest.raises(urllib.error.HTTPError):
+        _post(shell, "/api/settings", {"colormap": "rainbow"})
+    assert json.loads(_get(shell, "/api/settings"))["fft_size"] == 2048
+
+
+def test_hover_tooltip(shell):
+    txt = _get(shell, "/api/hover?frac=0.5").decode()
+    assert "Hz" in txt and "¢" in txt
+
+
+def test_on_top_flag(shell):
+    _post(shell, "/api/settings", {"on_top": True})
+    st = json.loads(_get(shell, "/api/state"))
+    assert st["on_top"] is True
+
+
+def test_preset_crud_over_http(shell):
+    _post(shell, "/api/settings", {"gain": 5.5})
+    _post(shell, "/api/preset/save?name=Web")
+    names = json.loads(_get(shell, "/api/presets"))
+    assert "Web" in names
+    _post(shell, "/api/settings", {"gain": 1.0})
+    r = _post(shell, "/api/preset/load?name=Web")
+    assert r["settings"]["gain"] == 5.5
+    _post(shell, "/api/preset/delete?name=Web")
+    assert "Web" not in json.loads(_get(shell, "/api/presets"))
+    with pytest.raises(urllib.error.HTTPError):
+        _post(shell, "/api/preset/delete?name=Default")
+
+
+def test_m4l_minimize_restore_pauses_shell(shell, tmp_path):
+    """Ableton writes live_state.json; the shell's stream pauses (the
+    page shows the minimized overlay via /api/state)."""
+    state_file = tmp_path / "userdir" / "live_state.json"
+    assert state_file.exists()                    # auto-created on launch
+    state_file.write_text(json.dumps({"state": "minimized"}))
+    deadline = time.perf_counter() + 3.0
+    paused = False
+    while time.perf_counter() < deadline:
+        if json.loads(_get(shell, "/api/state"))["paused"]:
+            paused = True
+            break
+        time.sleep(0.05)
+    assert paused
+    state_file.write_text(json.dumps({"state": "restored"}))
+    deadline = time.perf_counter() + 3.0
+    while time.perf_counter() < deadline:
+        if not json.loads(_get(shell, "/api/state"))["paused"]:
+            break
+        time.sleep(0.05)
+    assert not json.loads(_get(shell, "/api/state"))["paused"]
