@@ -54,20 +54,30 @@ def _throughput(settings, seconds: float, iters: int) -> dict:
     # 2) end with a HOST FETCH of a chained scalar — block_until_ready is
     #    not a reliable execution barrier on remote backends, a host copy
     #    is (it forces the whole dependency chain);
-    # 3) report the MARGINAL per-call cost from two iteration counts, so
-    #    the fixed per-chain round-trip doesn't inflate the number.
-    # wide spread so the marginal slope is well-conditioned even in quick mode
-    lo = max(iters, 2)
-    hi = 4 * lo
-    totals = []
-    for it in (lo, hi):
-        st_c = st
+    # 3) report the MARGINAL per-call cost from two chain lengths, so the
+    #    fixed per-chain round-trip doesn't inflate the number;
+    # 4) size the chains so the measured work dwarfs the relay's ~10s-of-ms
+    #    jitter, and take the MEDIAN of repeated marginals (sub-ms calls on
+    #    short chains were measured anywhere between 0.4 and 2.2 ms/call —
+    #    chain-length auto-scaling is what makes the number reproducible).
+    def chain(it, st_c):
         t0 = time.perf_counter()
         for _ in range(it):
-            vis, rgba, st_c = pipe._batch_jit(xd, p, st_c, t_count)
+            _, _, st_c = pipe._batch_jit(xd, p, st_c, t_count)
         _ = np.asarray(st_c.agc_ref)
-        totals.append(time.perf_counter() - t0)
-    dt = (totals[1] - totals[0]) / (hi - lo)               # marginal s/call
+        return time.perf_counter() - t0
+
+    est = chain(max(iters, 2), st) / max(iters, 2)         # rough s/call
+    target_s = 0.3 if iters <= 3 else 0.8                  # per-chain work
+    hi = int(np.clip(np.ceil(target_s / max(est, 1e-5)), max(iters, 4), 512))
+    lo = max(hi // 4, 2)
+    reps = 3 if iters <= 3 else 5
+    samples = []
+    for _ in range(reps):
+        t_lo = chain(lo, st)
+        t_hi = chain(hi, st)
+        samples.append((t_hi - t_lo) / (hi - lo))
+    dt = float(np.median(samples))                         # marginal s/call
     cols_per_sec = t_count / dt
     from emspec.bench.roofline import roofline_report
     return {

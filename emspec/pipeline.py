@@ -449,7 +449,11 @@ class Pipeline:
         return self._batch_jit(x, p, st, t_count)
 
 
-@functools.lru_cache(maxsize=16)
+# Sized for the prewarm set (7 dropdown sizes + the multires variant,
+# × enhanced/natural) with headroom for structural churn — a gain tweak
+# must never evict a just-warmed executable (tests/test_ops.py pins the
+# prewarm set staying resident).
+@functools.lru_cache(maxsize=32)
 def _cached_pipeline(settings: Settings) -> Pipeline:
     return Pipeline(settings)
 
@@ -504,13 +508,19 @@ def prewarm(base: Settings, sizes: tuple | None = None,
             jax.block_until_ready(pipe._stream_jit(carry, window, pipe.params()))
 
     if background:
-        import concurrent.futures
-        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
-        fut = pool.submit(_warm)
-        pool.shutdown(wait=False)
-        return fut
+        return _warm_pool().submit(_warm)
     _warm()
     return None
+
+
+@functools.lru_cache(maxsize=1)
+def _warm_pool():
+    """One shared single-thread warmer: repeated prewarm() calls (every
+    structural change in an app session) queue on the same worker instead
+    of each leaking a fresh thread."""
+    import concurrent.futures
+    return concurrent.futures.ThreadPoolExecutor(
+        max_workers=1, thread_name_prefix="emspec-prewarm")
 
 
 def render_image_multires(x, settings: Settings) -> np.ndarray:

@@ -81,10 +81,12 @@ def test_fourstep_rejects_unsupported_size():
     s = Settings(multires=False, fft_size=512, fft_impl="fourstep",
                  multires_sizes=(512,))
     Pipeline(s.replace(hop=128)).fft_impl  # 512 is supported — fine
-    # hop with non-factorable custom bank sizes raises
-    s2 = _base(multires_sizes=(768,), fft_impl="fourstep")
+    # non-power-of-two bank sizes are rejected at Settings construction
+    # (round-2 validation — they'd reach kernels whose tile policies
+    # assume powers of two); fourstep's own support check is second line
     with pytest.raises((ValueError, KeyError)):
-        _ = Pipeline(s2).fft_impl
+        _ = Pipeline(_base(multires_sizes=(768,),
+                           fft_impl="fourstep")).fft_impl
 
 def test_fourstep_streaming_equals_batch_natural():
     """Regression: the natural-mode stream step once ignored fft_impl and

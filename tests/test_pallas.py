@@ -19,15 +19,20 @@ def _interp():
 
 # ------------------------------------------------------------- histogram
 def test_histogram_matches_segment_sum():
+    """Default 2-pass bf16 split stays inside its documented ≤2⁻¹⁶
+    relative bound; passes=3 is f32-exact (DESIGN.md §7)."""
     rng = np.random.default_rng(0)
     m, s = 1000, 300
     ids = rng.integers(0, s, m).astype(np.int32)
     vals = rng.uniform(0, 1, m).astype(np.float32)
     want = np.asarray(histogram_reference(jnp.asarray(ids), jnp.asarray(vals), s))
     with _interp():
-        got = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
-                                          m_chunk=256))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+        got2 = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
+                                           m_chunk=256))
+        got3 = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
+                                           m_chunk=256, passes=3))
+    np.testing.assert_allclose(got2, want, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(got3, want, rtol=1e-6, atol=1e-6)
 
 
 def test_histogram_negative_ids_dropped():
@@ -47,7 +52,7 @@ def test_histogram_batched():
     with _interp():
         got = np.asarray(histogram_matmul(jnp.asarray(ids), jnp.asarray(vals), s,
                                           m_chunk=256))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
 
 
 def test_histogram_empty_bins_and_total():
