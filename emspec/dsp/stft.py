@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from emspec.dsp.frame import frame_signal
 from emspec.dsp.windows import hann, window_triple
@@ -74,6 +75,47 @@ def stencil_from_raw(X: jnp.ndarray, X_th: jnp.ndarray, n: int):
     Xp1 = jnp.concatenate([X[..., 1:], jnp.conj(X[..., -2:-1])], axis=-1)
     X_h = 0.5 * X - 0.25 * (Xm1 + Xp1)
     X_dh = (-0.5j * jnp.pi / n) * (Xm1 - Xp1)
+    return X_h, X_th, X_dh
+
+
+def stft_triple_stencil_sliced(frames: jnp.ndarray, k_lo: int, k_hi: int
+                               ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pruned-DFT reassignment spectra: only bins [k_lo, k_hi) of
+    (X_h, X_th, X_dh), computed as one MXU GEMM instead of a full FFT.
+
+    Band-support slicing (Pipeline.k_slices) leaves the long multires
+    banks needing a tiny fraction of their spectrum — the default
+    8192-bank keeps 43 of 4097 bins.  A full FFT computes all of them;
+    the DFT restricted to K kept bins is a (batch, n) @ (n, K+2) matmul,
+    which the MXU runs an order of magnitude faster than the FFT's
+    memory-bound butterflies when K ≪ n (measured crossover in
+    ``Pipeline._use_pruned_dft``).
+
+    The DFT matrix is evaluated at integer k from k_lo−1 to k_hi
+    (stencil neighbors included): out-of-range k = −1 / N/2+1 need no
+    Hermitian special-casing — e^{−2πi(−1)n/N} IS conj-symmetric for the
+    real input by construction.  Matrix built in float64, cast to f32,
+    contracted at Precision.HIGHEST (same error class as the f32 FFT).
+    """
+    from emspec.dsp.windows import time_weighted_hann
+
+    n = frames.shape[-1]
+    lead = frames.shape[:-1]
+    ks = np.arange(k_lo - 1, k_hi + 1)
+    ang = (-2.0 * np.pi / n) * np.outer(np.arange(n), ks)      # float64
+    wc = jnp.asarray(np.cos(ang), jnp.float32)                 # (n, K+2)
+    ws = jnp.asarray(np.sin(ang), jnp.float32)
+    th = jnp.asarray(time_weighted_hann(n, frames.dtype))
+    f2 = frames.reshape(-1, n)
+    pair = jnp.concatenate([f2, f2 * th], axis=0)              # (2B, n)
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.dot(pair, wc, precision=hi)
+    im = jnp.dot(pair, ws, precision=hi)
+    X = (re + 1j * im).reshape((2, -1, len(ks)))
+    Xe = X[0].reshape(lead + (len(ks),))
+    X_th = X[1].reshape(lead + (len(ks),))[..., 1:-1]
+    X_h = 0.5 * Xe[..., 1:-1] - 0.25 * (Xe[..., :-2] + Xe[..., 2:])
+    X_dh = (-0.5j * jnp.pi / n) * (Xe[..., :-2] - Xe[..., 2:])
     return X_h, X_th, X_dh
 
 

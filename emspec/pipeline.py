@@ -123,23 +123,34 @@ class Pipeline:
                     and (2 * self.reach + 1) * self.rows <= 16384)
         return s == "pallas"
 
+    def _use_pruned_dft(self, n: int, k_lo: int, k_hi: int) -> bool:
+        """Pruned-DFT-as-GEMM policy: a band-sliced bank keeping K bins
+        costs 8·n·(K+2) GEMM flops vs ~5·n·log2(n) FFT flops per frame —
+        but the MXU runs the GEMM at an order of magnitude higher
+        throughput than the memory-bound FFT, so the crossover sits far
+        above the flop-parity point.  Threshold measured on TPU v5e
+        (BENCH.md): GEMM wins while (K+2)·8 ≤ n.  Full-range banks
+        (K = n/2+1) never qualify, so natural mode and single-bank
+        enhanced keep the exact rfft path (and its bitwise
+        batch-stability guarantee)."""
+        return (k_hi - k_lo + 2) * 8 <= n
+
     @property
     def fft_impl(self) -> str:
         """Resolved FFT engine ("fourstep" | "xla") — see Settings.fft_impl.
 
-        Measured policy (TPU v5e, BENCH.md): the MXU-matmul four-step FFT
-        wins only where the packed stencil transform amortizes over many
-        frames with mixed bank sizes — enhanced multires is 2× faster;
-        natural mode and single-bank configs favor XLA's rfft (small DFT
-        matrices starve the MXU, and rfft is batched-real already)."""
+        Measured policy (TPU v5e, BENCH.md): round 1's auto picked the
+        MXU-matmul four-step FFT for enhanced multires (2× at the time).
+        Round 2's pruned-DFT GEMM (``_use_pruned_dft``) took over exactly
+        the banks where fourstep was winning, and the remaining small-bank
+        FFT measures a tie (192.3k vs 190.3k cols/s) — so auto now always
+        resolves to "xla", whose rfft is bitwise batch-shape-stable: the
+        default multires config gets the streaming ≡ batch BIT-exact
+        guarantee back at no measured cost.  "fourstep" stays selectable
+        (float32-tolerance parity, tested)."""
         from emspec.dsp import fourstep
         s = self.settings.fft_impl
         if s == "auto":
-            if (jax.default_backend() == "tpu"
-                    and self.settings.mode == MODE_ENHANCED
-                    and len(self.sizes) > 1
-                    and all(fourstep.supported(n) for n in self.sizes)):
-                return "fourstep"
             return "xla"
         if s == "fourstep" and not all(fourstep.supported(n) for n in self.sizes):
             raise ValueError(f"fourstep FFT unsupported for sizes {self.sizes}")
@@ -217,7 +228,16 @@ class Pipeline:
         rows_l, delta_l, contrib_l = [], [], []
         for frames, n, bb, (k_lo, k_hi) in zip(
                 frames_list, self.sizes, p.band_bins, self.k_slices):
-            if self.settings.fft_method == "stencil":
+            if (self.settings.fft_method == "stencil"
+                    and self._use_pruned_dft(n, k_lo, k_hi)):
+                # band-sliced bank keeps K ≪ n/2 bins: the pruned DFT is
+                # one MXU GEMM straight to the kept bins — no full FFT,
+                # no slice (emspec.dsp.stft.stft_triple_stencil_sliced)
+                from emspec.dsp.stft import stft_triple_stencil_sliced
+                power, dt, dw = reassignment_corrections(
+                    *stft_triple_stencil_sliced(frames, k_lo, k_hi))
+                X = None
+            elif self.settings.fft_method == "stencil":
                 X = stft_triple_stencil(frames, self.fft_impl)
             else:
                 if jax.default_backend() == "tpu":
@@ -235,10 +255,11 @@ class Pipeline:
                 else:
                     Xs = jnp.fft.rfft(windowed, axis=-1)
                 X = (Xs[0], Xs[1], Xs[2])
-            # slice to the bank's band support (zero weight outside):
-            # corrections + scatter skip the dead bins entirely
-            X = tuple(a[..., k_lo:k_hi] for a in X)
-            power, dt, dw = reassignment_corrections(*X)
+            if X is not None:
+                # slice to the bank's band support (zero weight outside):
+                # corrections + scatter skip the dead bins entirely
+                X = tuple(a[..., k_lo:k_hi] for a in X)
+                power, dt, dw = reassignment_corrections(*X)
             k_idx = jnp.arange(k_lo, k_hi, dtype=jnp.float32)
             f_hat = (k_idx + dw * (n / (2.0 * np.pi))) * (sr / n)   # Hz
             delta = jnp.round(dt / float(self.hop)).astype(jnp.int32)

@@ -76,6 +76,30 @@ def test_stencil_method_matches_direct(n, hop):
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("n,hop,k_lo,k_hi", [
+    (2048, 512, 6, 104),      # multires mid bank after band slicing
+    (8192, 2048, 0, 43),      # low bank — k_lo=0 exercises the k=-1 column
+])
+def test_pruned_dft_matches_fft_slice(n, hop, k_lo, k_hi):
+    """The pruned-DFT GEMM (band-sliced banks) must match the full-FFT
+    stencil path on the kept bins to float32 GEMM rounding, including the
+    Hermitian edge bin handled by evaluating the DFT at k = -1."""
+    from emspec.dsp.frame import frame_signal
+    from emspec.dsp.stft import stft_triple_stencil, stft_triple_stencil_sliced
+
+    x = jnp.asarray(synth.multitone([60.0, 440.0, 3000.0], 0.3)
+                    + synth.noise(0.3, seed=9, amplitude=0.02))
+    frames = frame_signal(x, n, hop)
+    full = stft_triple_stencil(frames)
+    sliced = stft_triple_stencil_sliced(frames, k_lo, k_hi)
+    for name, a, b in zip(("X_h", "X_th", "X_dh"), full, sliced):
+        want = np.asarray(a)[..., k_lo:k_hi]
+        scale = max(float(np.abs(want).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(b) / scale, want / scale,
+                                   atol=1e-4 * np.sqrt(n / 512),
+                                   err_msg=name)
+
+
 def test_batched_channels():
     x = np.stack([synth.tone(440.0, 0.1), synth.tone(880.0, 0.1)])
     S = np.asarray(power_spectrogram(jnp.asarray(x), 1024, 256))
