@@ -80,14 +80,15 @@ class Settings:
 
     # -------- analysis detail knobs (rebuild-specific, documented [INF]) --------
     freq_min: float = 20.0              # bottom of the log-frequency axis
-    fft_impl: str = "auto"              # FFT engine: "auto" (= "xla" since
-                                        # round 2 — the pruned-DFT GEMM covers
-                                        # the banks where four-step used to
-                                        # win), "fourstep", or "xla".  NOTE:
-                                        # the streaming==batch BIT-exact
-                                        # guarantee holds for "xla" (rfft is
-                                        # batch-shape-stable); "fourstep"
-                                        # agrees to float32 rounding, tested.
+    fft_impl: str = "auto"              # FFT engine: "auto" (four-step MXU
+                                        # matmuls for enhanced single-bank on
+                                        # TPU, XLA rfft otherwise — measured
+                                        # policy, Pipeline.fft_impl),
+                                        # "fourstep", or "xla".  NOTE: the
+                                        # streaming==batch BIT-exact guarantee
+                                        # holds for "xla" (rfft is batch-shape-
+                                        # stable); "fourstep" agrees to float32
+                                        # rounding, tested.
     fft_method: str = "stencil"         # reassignment FFT formulation:
                                         # "stencil" (2 rffts + exact Hann
                                         # stencils) or "direct" (3 rffts)

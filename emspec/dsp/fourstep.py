@@ -85,16 +85,14 @@ def fft_fourstep(z_r: jnp.ndarray, z_i: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
     xr = z_r.reshape(lead + (n1, n2))
     xi = z_i.reshape(lead + (n1, n2))
 
-    # step 1: A = (C1 − i·S1) @ x, contraction over n1.
-    # einsum('kj,...jn->...kn') == matmul with x transposed: use swapaxes.
-    xr_t = jnp.swapaxes(xr, -1, -2)                    # (..., n2, n1)
-    xi_t = jnp.swapaxes(xi, -1, -2)
-    ar = jnp.swapaxes(_mm(xr_t, C1.T), -1, -2)         # Σ_j C1[k,j]·xr[j,n]
-    ai_c = jnp.swapaxes(_mm(xi_t, C1.T), -1, -2)
-    ar_s = jnp.swapaxes(_mm(xr_t, S1.T), -1, -2)
-    ai_s = jnp.swapaxes(_mm(xi_t, S1.T), -1, -2)
-    Ar = ar + ai_s                                     # C1@xr + S1@xi
-    Ai = ai_c - ar_s                                   # C1@xi − S1@xr
+    # step 1: A = (C1 − i·S1) @ x, contraction over n1 — expressed as a
+    # direct dot_general over the -2 axis (einsum) so XLA chooses layouts
+    # instead of materializing four explicit transposes (measured 25%
+    # faster at the stress shape, BENCH.md round 2)
+    def dot1(m, x):
+        return jnp.einsum("kj,...jn->...kn", m, x, precision=_HI)
+    Ar = dot1(C1, xr) + dot1(S1, xi)                   # C1@xr + S1@xi
+    Ai = dot1(C1, xi) - dot1(S1, xr)                   # C1@xi − S1@xr
 
     # step 2: twiddle (k1, n2) elementwise
     Br = Ar * TWr + Ai * TWi
@@ -127,12 +125,14 @@ def rfft_fourstep(x: jnp.ndarray) -> jnp.ndarray:
     lead = x.shape[:-1]
     x2 = x.reshape(lead + (h, 2))
     Zr, Zi = fft_fourstep(x2[..., 0], x2[..., 1])      # N/2-point complex
-    # Hermitian split at k = 0..N/2 (indices mod N/2)
-    idx = (-np.arange(h + 1)) % h
+    # Hermitian split at k = 0..N/2 (indices (−k) mod N/2) — concat+flip,
+    # not a gather (TPU gather trap)
     Zr_k = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)  # Z(k), k=0..h
     Zi_k = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
-    Zr_c = Zr[..., idx]                                 # Re Z(h−k)
-    Zi_c = -Zi[..., idx]                                # Im conj(Z(h−k))
+    Zr_c = jnp.concatenate(                             # Re Z(h−k), k=0..h
+        [Zr[..., :1], jnp.flip(Zr[..., 1:], -1), Zr[..., :1]], axis=-1)
+    Zi_c = -jnp.concatenate(                            # Im conj(Z(h−k))
+        [Zi[..., :1], jnp.flip(Zi[..., 1:], -1), Zi[..., :1]], axis=-1)
     Er = 0.5 * (Zr_k + Zr_c)
     Ei = 0.5 * (Zi_k + Zi_c)
     Or = 0.5 * (Zi_k - Zi_c)                            # −i(Z−Zc)/2, real part
@@ -158,10 +158,11 @@ def packed_pair_fft(a: jnp.ndarray, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.nd
     """
     n = a.shape[-1]
     Zr, Zi = fft_fourstep(a, b)
-    # conj(Z(N−k)) for k=0..K−1: index 0 maps to 0, else reversed
-    idx = (-np.arange(n)) % n
-    Zr_c = Zr[..., idx]
-    Zi_c = -Zi[..., idx]
+    # conj(Z(N−k)) for k=0..K−1: index 0 maps to 0, else reversed —
+    # as concat+flip (layout ops), NOT an elementwise gather (the TPU
+    # gather trap, BENCH.md optimization log #1)
+    Zr_c = jnp.concatenate([Zr[..., :1], jnp.flip(Zr[..., 1:], -1)], axis=-1)
+    Zi_c = -jnp.concatenate([Zi[..., :1], jnp.flip(Zi[..., 1:], -1)], axis=-1)
     k = n // 2 + 1
     Ar = 0.5 * (Zr[..., :k] + Zr_c[..., :k])
     Ai = 0.5 * (Zi[..., :k] + Zi_c[..., :k])

@@ -139,18 +139,25 @@ class Pipeline:
     def fft_impl(self) -> str:
         """Resolved FFT engine ("fourstep" | "xla") — see Settings.fft_impl.
 
-        Measured policy (TPU v5e, BENCH.md): round 1's auto picked the
-        MXU-matmul four-step FFT for enhanced multires (2× at the time).
-        Round 2's pruned-DFT GEMM (``_use_pruned_dft``) took over exactly
-        the banks where fourstep was winning, and the remaining small-bank
-        FFT measures a tie (192.3k vs 190.3k cols/s) — so auto now always
-        resolves to "xla", whose rfft is bitwise batch-shape-stable: the
-        default multires config gets the streaming ≡ batch BIT-exact
-        guarantee back at no measured cost.  "fourstep" stays selectable
+        Measured policy (TPU v5e, BENCH.md round 2, after the einsum+flip
+        fourstep rework): the packed-pair four-step FFT wins enhanced
+        single-bank configs (8192: 137k vs 108k cols/s; 16ch stress:
+        2,457 vs 1,825) — that's where one large complex transform
+        dominates the step.  Multires measures a tie (the pruned-DFT GEMM
+        already took the long banks), and natural mode loses 3×
+        (batched-real rfft is already optimal), so both resolve to "xla",
+        whose rfft is bitwise batch-shape-stable — the default multires
+        config keeps the streaming ≡ batch BIT-exact guarantee.
+        "fourstep" stays selectable everywhere supported
         (float32-tolerance parity, tested)."""
         from emspec.dsp import fourstep
         s = self.settings.fft_impl
         if s == "auto":
+            if (jax.default_backend() == "tpu"
+                    and self.settings.mode == MODE_ENHANCED
+                    and len(self.sizes) == 1
+                    and fourstep.supported(self.sizes[0])):
+                return "fourstep"
             return "xla"
         if s == "fourstep" and not all(fourstep.supported(n) for n in self.sizes):
             raise ValueError(f"fourstep FFT unsupported for sizes {self.sizes}")
