@@ -131,9 +131,16 @@ class Pipeline:
         above the flop-parity point.  Threshold measured on TPU v5e
         (BENCH.md): GEMM wins while (K+2)·8 ≤ n.  Full-range banks
         (K = n/2+1) never qualify, so natural mode and single-bank
-        enhanced keep the exact rfft path (and its bitwise
-        batch-stability guarantee)."""
-        return (k_hi - k_lo + 2) * 8 <= n
+        enhanced keep the exact rfft path.
+
+        TPU-only: on CPU the GEMM's accumulation order shifts with the
+        batch dimension (cache blocking) in the last float32 bit, which
+        would break the streaming ≡ batch bit-exactness contract the CPU
+        suite pins — and CPU throughput doesn't matter.  The MXU's
+        K-tiling is batch-independent; tests/test_tpu.py asserts the
+        streaming ≡ batch contract on the real chip."""
+        return (jax.default_backend() == "tpu"
+                and (k_hi - k_lo + 2) * 8 <= n)
 
     @property
     def fft_impl(self) -> str:
@@ -146,10 +153,12 @@ class Pipeline:
         dominates the step.  Multires measures a tie (the pruned-DFT GEMM
         already took the long banks), and natural mode loses 3×
         (batched-real rfft is already optimal), so both resolve to "xla",
-        whose rfft is bitwise batch-shape-stable — the default multires
-        config keeps the streaming ≡ batch BIT-exact guarantee.
-        "fourstep" stays selectable everywhere supported
-        (float32-tolerance parity, tested)."""
+        whose rfft is bitwise batch-shape-stable.  Streaming ≡ batch is
+        BIT-exact on every path without batch-shape-sensitive GEMMs
+        (pinned by the CPU suite); on TPU the pruned-DFT banks agree to
+        float32 ulp (measured ≤1e-7 rel — tests/test_tpu.py documents
+        the exact contract).  "fourstep" stays selectable everywhere
+        supported (float32-tolerance parity, tested)."""
         from emspec.dsp import fourstep
         s = self.settings.fft_impl
         if s == "auto":

@@ -45,6 +45,55 @@ def test_pipeline_scatter_backends_agree_on_tpu():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_multires_streaming_equals_batch_on_tpu():
+    """The streaming ≡ batch contract for the default multires config ON
+    THE CHIP, where the pruned-DFT GEMM path is active.
+
+    Measured reality (this test documents it): the MXU GEMM differs in
+    the last float32 bit between the streaming (M=2) and batch (M=2t)
+    shapes — max 1e-7 relative on ~0.7% of elements — so on TPU the
+    contract is ulp-level agreement plus the standard quantized-scatter
+    caveat (an ulp can move a deposit one display cell; compared through
+    the DESIGN.md §9 max-filter methodology).  The BIT-exact guarantee
+    holds on paths without batch-shape-sensitive GEMMs — the CPU suite
+    pins it (the pruned path is TPU-only)."""
+    import jax.numpy as jnp
+    from emspec.config import Settings
+    from emspec.pipeline import Pipeline
+    from emspec.io import synth
+
+    s = Settings(mode="enhanced", multires=True,
+                 multires_sizes=(2048, 1024, 512), raster_height=128,
+                 hop=256, smoothing=0.5)
+    pipe = Pipeline(s)
+    assert pipe._use_pruned_dft(2048, 0, 20)      # the path is active here
+    x = np.asarray(synth.chirp(100.0, 8000.0, 0.4), np.float32)
+    t = pipe.num_columns(len(x))
+    vis_b, _, _ = pipe.process(x)
+
+    carry = pipe.init_stream_carry(())
+    p = pipe.params()
+    outs = []
+    n_hops = t + pipe.reach
+    for h in range(n_hops):
+        w = np.zeros(pipe.n_max, np.float32)
+        if h < t:                     # flush hops are all-zero (Stream.flush)
+            start = h * pipe.hop
+            chunk = x[start:start + pipe.n_max]
+            w[:len(chunk)] = chunk
+        carry, (vis, _, _) = pipe._stream_jit(carry, jnp.asarray(w), p)
+        if h >= pipe.reach:
+            outs.append(np.asarray(vis))
+    got = np.stack(outs)
+    want = np.asarray(vis_b)[:len(got)]
+    # ulp-level agreement…
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # …and robust to single-cell deposit migration (quantization cliff)
+    from scipy.ndimage import maximum_filter
+    np.testing.assert_allclose(maximum_filter(got, 3),
+                               maximum_filter(want, 3), atol=1e-5)
+
+
 def test_stream_step_compiles_with_pallas_on_tpu():
     """The donated-carry streaming executable (the live hot path) through
     Mosaic at the default multires settings."""
