@@ -72,6 +72,11 @@ class SyntheticCapture:
                  + 0.005 * np.random.default_rng(pos).standard_normal(n))
             chunk = np.broadcast_to(
                 x.astype(np.float32), (self.channels, n)).copy()
+            if self.channels > 1:
+                # distinct per-channel levels so multichannel views and
+                # the display-channel switch are visibly different
+                chunk *= (1.0 - 0.6 * np.arange(self.channels)
+                          / max(self.channels - 1, 1))[:, None]
             self.sink(chunk)
             pos += n
             # pace to the sample clock (a real device callback arrives at

@@ -66,6 +66,10 @@ PAGE = r"""<!DOCTYPE html>
     <button id="auto_gain" onclick="toggle('auto_gain')">Auto Gain</button>
   </div>
 
+  <label id="chan_label" style="display:none">Channel</label>
+  <select id="display_channel" style="display:none"
+          onchange="setS({display_channel:+this.value})"></select>
+
   <label>FFT Size</label>
   <select id="fft_size" onchange="setS({fft_size:+this.value})"></select>
   <label>Colormap</label>
@@ -120,6 +124,18 @@ function buildPanel(meta) {
 function reflect() {
   for (const [f,,,,fmt] of SLIDERS) {
     el("sl_"+f).value = S[f]; el("val_"+f).textContent = fmt(S[f]);
+  }
+  if (S.channels > 1) {
+    const sel = el("display_channel");
+    if (sel.options.length !== S.channels) {
+      sel.innerHTML = "";
+      for (let c = 0; c < S.channels; c++) {
+        const o = document.createElement("option");
+        o.value = c; o.textContent = "ch " + c; sel.appendChild(o);
+      }
+    }
+    sel.value = S.display_channel;
+    sel.style.display = el("chan_label").style.display = "block";
   }
   el("fft_size").value = S.fft_size;
   el("colormap").value = S.colormap;

@@ -38,7 +38,7 @@ class ShellServer:
     """Owns the app, the feeder, the drain worker, and the HTTP server."""
 
     def __init__(self, settings: Settings | None = None, port: int = 0,
-                 source: str = "synthetic", wav_path: str | None = None,
+                 source: str = "auto", wav_path: str | None = None,
                  user_dir: str = ".emspec"):
         self.app = EmSpecApp(settings, user_dir=user_dir)
         self.lock = threading.RLock()
@@ -95,17 +95,20 @@ class ShellServer:
         from emspec.io.wav import read_wav
         audio, rate = read_wav(self._wav_path)
         s = self.app.settings
-        if rate != s.sample_rate:
+        if rate != s.sample_rate or audio.shape[0] != s.channels:
             with self.lock:
-                self.app.apply_settings(s.replace(sample_rate=rate))
+                self.app.apply_settings(s.replace(
+                    sample_rate=rate, channels=audio.shape[0],
+                    display_channel=min(s.display_channel,
+                                        audio.shape[0] - 1)))
         return audio.astype(np.float32), rate
 
     def _drain_loop(self) -> None:
-        ch = self.app.settings.channels
-        empty = (np.zeros((ch, 0), np.float32) if ch > 1
-                 else np.zeros(0, np.float32))
         while not self._stop.is_set():
             with self.lock:
+                ch = self.app.settings.channels   # may change structurally
+                empty = (np.zeros((ch, 0), np.float32) if ch > 1
+                         else np.zeros(0, np.float32))
                 self.app.push_audio(empty)
             time.sleep(1.0 / 60.0)
 

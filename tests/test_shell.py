@@ -105,6 +105,27 @@ def test_preset_crud_over_http(shell):
         _post(shell, "/api/preset/delete?name=Default")
 
 
+def test_multichannel_shell_channel_switch(tmp_path):
+    """A multichannel session exposes display_channel as a continuous
+    change over HTTP, and the page's selector data round-trips."""
+    s = Settings(mode="natural", multires=False, fft_size=1024,
+                 raster_height=64, raster_width=128, hop=256, channels=3)
+    srv = ShellServer(s, port=0, source="synthetic",
+                      user_dir=tmp_path / "ud")
+    srv.start()
+    try:
+        time.sleep(0.8)
+        r = _post(srv, "/api/settings", {"display_channel": 2})
+        assert r["kind"] == "continuous"
+        assert r["settings"]["display_channel"] == 2
+        with pytest.raises(urllib.error.HTTPError):
+            _post(srv, "/api/settings", {"display_channel": 9})
+        raw = _get(srv, "/api/frame")
+        assert len(raw) == 8 + 64 * 128 * 4            # one channel's view
+    finally:
+        srv.stop()
+
+
 def test_m4l_minimize_restore_pauses_shell(shell, tmp_path):
     """Ableton writes live_state.json; the shell's stream pauses (the
     page shows the minimized overlay via /api/state)."""
