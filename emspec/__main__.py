@@ -210,14 +210,14 @@ def main(argv=None) -> int:
     pr = sub.add_parser("render", help="render a WAV file to a PNG spectrogram")
     pr.add_argument("input")
     pr.add_argument("output")
-    pr.add_argument("--channel", default="0", help="channel index or 'all' (tiled per-channel view)")
+    pr.add_argument("--channel", default="0", help="channel index, or 'all' for a tiled per-channel view (always the log-frequency display path, like stream/gui; a plain single-channel render without --multires uses the linear-axis offline raster)")
     _add_settings_args(pr)
     pr.set_defaults(fn=cmd_render)
 
     ps = sub.add_parser("stream", help="stream a WAV hop-by-hop into a scrolling waterfall PNG")
     ps.add_argument("input")
     ps.add_argument("output")
-    ps.add_argument("--channel", default="0", help="channel index or 'all' (tiled per-channel view)")
+    ps.add_argument("--channel", default="0", help="channel index, or 'all' for a tiled per-channel view (always the log-frequency display path, like stream/gui; a plain single-channel render without --multires uses the linear-axis offline raster)")
     ps.add_argument("--chunk", type=int, default=1024, help="samples per push")
     ps.add_argument("--width", type=int, default=1024, help="waterfall columns")
     _add_settings_args(ps)

@@ -62,15 +62,17 @@ def _fmt_tag(path: str | Path) -> int | None:
         return None
 
 
-def _read_wav_manual(path: str | Path) -> tuple[int, int, int, bytes]:
-    """Minimal RIFF parse → (rate, channels, sample_width, data bytes).
-    Handles containers stdlib ``wave`` rejects (IEEE float, extensible)."""
+def _read_wav_manual(path: str | Path) -> tuple[int, int, int, bytes, int]:
+    """Minimal RIFF parse → (rate, channels, sample_width, data, fmt_tag).
+    Handles containers stdlib ``wave`` rejects (IEEE float, extensible);
+    the returned tag is already resolved through the extensible SubFormat
+    GUID (1 = PCM, 3 = IEEE float)."""
     import struct
     with open(path, "rb") as f:
         riff, _, wave_id = struct.unpack("<4sI4s", f.read(12))
         if riff != b"RIFF" or wave_id != b"WAVE":
             raise ValueError(f"{path}: not a RIFF/WAVE file")
-        rate = nch = width = None
+        rate = nch = width = tag = None
         data = None
         while True:
             hdr = f.read(8)
@@ -79,19 +81,24 @@ def _read_wav_manual(path: str | Path) -> tuple[int, int, int, bytes]:
             cid, csize = struct.unpack("<4sI", hdr)
             if cid == b"fmt ":
                 body = f.read(csize + (csize & 1))
-                _tag, nch, rate, _bps, _align, bits = struct.unpack(
+                tag, nch, rate, _bps, _align, bits = struct.unpack(
                     "<HHIIHH", body[:16])
+                if tag == 0xFFFE and len(body) >= 26:
+                    tag = struct.unpack("<H", body[24:26])[0]
                 width = bits // 8
             elif cid == b"data":
                 data = f.read(csize)
+                if csize & 1:
+                    f.seek(1, 1)              # chunks are word-aligned
             else:
                 f.seek(csize + (csize & 1), 1)
         if rate is None or data is None:
             raise ValueError(f"{path}: missing fmt/data chunk")
-        return rate, nch, width, data
+        return rate, nch, width, data, tag
 
 
 def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
+    tag = None
     try:
         with wave.open(str(path), "rb") as w:
             rate = w.getframerate()
@@ -100,15 +107,17 @@ def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
             raw = w.readframes(w.getnframes())
     except wave.Error:
         # stdlib wave rejects IEEE-float / extensible containers outright
-        rate, nch, width, raw = _read_wav_manual(path)
+        rate, nch, width, raw, tag = _read_wav_manual(path)
 
     if width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:
         # PCM32 or IEEE float32: stdlib ``wave`` exposes no format tag, so
-        # walk the fmt chunk ourselves; value sniffing (float32 audio stays
-        # within [-4, 4]) remains only as a last resort for broken headers.
-        tag = _fmt_tag(path)
+        # walk the fmt chunk ourselves (unless the manual parser already
+        # resolved it); value sniffing (float32 audio stays within [-4, 4])
+        # remains only as a last resort for broken headers.
+        if tag is None:
+            tag = _fmt_tag(path)
         if tag is None:
             as_f = np.frombuffer(raw, dtype="<f4")
             tag = 3 if (as_f.size and np.all(np.isfinite(as_f))
@@ -126,7 +135,7 @@ def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
         data = i32.astype(np.float32) / 8388608.0
     elif width == 1:
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif width == 8 and _fmt_tag(path) == 3:
+    elif width == 8 and (tag or _fmt_tag(path)) == 3:
         data = np.frombuffer(raw, dtype="<f8").astype(np.float32)
     else:
         raise ValueError(f"unsupported WAV sample width: {width}")

@@ -48,9 +48,13 @@ def frame_to_ansi(img: np.ndarray, cols: int | None = None,
     bot = px[1::2][:rows]
     t = _U8_STR[top]                                # (rows, cols, 3) strings
     b = _U8_STR[bot]
-    cells = ("\x1b[38;2;" + t[..., 0] + ";" + t[..., 1] + ";" + t[..., 2]
-             + "m\x1b[48;2;" + b[..., 0] + ";" + b[..., 1] + ";" + b[..., 2]
-             + "m▀")
+    # np.char.add (not `str + ndarray`, which needs numpy >= 2)
+    add = np.char.add
+    parts = ("\x1b[38;2;", t[..., 0], ";", t[..., 1], ";", t[..., 2],
+             "m\x1b[48;2;", b[..., 0], ";", b[..., 1], ";", b[..., 2], "m▀")
+    cells = parts[0]
+    for p in parts[1:]:
+        cells = add(cells, p)
     return "\n".join("".join(row) + _RESET for row in cells)
 
 

@@ -64,18 +64,24 @@ class Waterfall:
         self._phase += self.scroll_speed
         steps = int(self._phase)
         self._phase -= steps
-        if self._acc is None:
-            self._acc = rgba_column.astype(jnp.float32)
-            self._acc_n = 1
-        else:
-            self._acc = self._acc + rgba_column.astype(jnp.float32)
-            self._acc_n += 1
         if steps == 0:
+            # fractional speed: bank this column for the next painted
+            # pixel (speeds >= 1 never reach here — zero extra device
+            # ops on the common path, painted column stays bit-identical)
+            if self._acc is None:
+                self._acc = rgba_column.astype(jnp.float32)
+                self._acc_n = 1
+            else:
+                self._acc = self._acc + rgba_column.astype(jnp.float32)
+                self._acc_n += 1
             return
-        column = (rgba_column if self._acc_n == 1
-                  else self._mean(self._acc, self._acc_n))
-        self._acc = None
-        self._acc_n = 0
+        if self._acc is not None:
+            column = self._mean(self._acc + rgba_column.astype(jnp.float32),
+                                self._acc_n + 1)
+            self._acc = None
+            self._acc_n = 0
+        else:
+            column = rgba_column
         self._buf, self._head = self._advance(
             self._buf, self._head, column, steps)
 

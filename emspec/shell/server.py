@@ -55,10 +55,22 @@ class ShellServer:
     # --------------------------------------------------------------- feeding
     def _ring_push(self, chunk: np.ndarray) -> None:
         # the app's stream is swapped on structural changes; resolve at
-        # call time so the feeder survives re-specialization
+        # call time and ADAPT the chunk's channel count so a running
+        # capture source survives a /api/settings channels change (a
+        # shape mismatch would kill the producer thread silently)
         st = self.app.stream
-        if st.channels == 1 and chunk.ndim == 2:
-            chunk = chunk[0]
+        if st.channels == 1:
+            if chunk.ndim == 2:
+                chunk = chunk[0]
+        else:
+            if chunk.ndim == 1:
+                chunk = chunk[None]
+            have = chunk.shape[0]
+            if have > st.channels:
+                chunk = chunk[:st.channels]
+            elif have < st.channels:
+                reps = -(-st.channels // have)
+                chunk = np.tile(chunk, (reps, 1))[:st.channels]
         st.ring.push(chunk)
 
     def _start_feeder(self) -> None:
@@ -70,13 +82,15 @@ class ShellServer:
                 block = max(rate // 50, 256)
                 t0 = time.perf_counter()
                 sent = 0
+                total = x_all.shape[-1]
                 while not self._stop.is_set():
-                    chunk = x_all[..., pos:pos + block]
-                    if chunk.shape[-1] < block:       # loop the file
-                        pos = 0
-                        continue
+                    # wrap-around take of exactly `block` samples: files
+                    # shorter than a block still loop (and still pace —
+                    # a short-file reset must never busy-spin)
+                    idx = (pos + np.arange(block)) % total
+                    chunk = np.ascontiguousarray(x_all[..., idx])
                     self._ring_push(chunk)
-                    pos += block
+                    pos = (pos + block) % total
                     sent += block
                     delay = t0 + sent / rate - time.perf_counter()
                     if delay > 0:

@@ -98,7 +98,13 @@ class Stream:
         if self._finished:
             raise RuntimeError(
                 "stream already flushed; create a new Stream to continue")
-        self.ring.push(samples)
+        samples = np.asarray(samples)
+        if samples.shape[-1]:
+            # zero-length pushes are the sanctioned "drain only" idiom for
+            # capture-fed streams (the capture thread is the ring's single
+            # producer; even a 0-sample push would read-modify-write the
+            # ring's counters from this thread — a two-producer race)
+            self.ring.push(samples)
         if self._paused:
             return []
         return self._drain()
@@ -145,7 +151,10 @@ class Stream:
             if self.channels == 1:
                 window = window[0]
             dev = jax.device_put(window.astype(np.float32, copy=False))
-            self._staged.append(dev)
+            # snapshot the drop count WITH the window: a later overrun
+            # (while this window waits in the queue) must not inflate the
+            # already-staged column's absolute-time index
+            self._staged.append((self.dropped_frames, dev))
             self._next_stage += 1
             return True
 
@@ -158,23 +167,23 @@ class Stream:
                 pass
             if not self._staged:
                 break
-            dev = self._staged.popleft()
+            dropped_at_stage, dev = self._staged.popleft()
             if not self._staged:
                 self._stage_one()           # stage t+1 ahead of step t
-            out.extend(self._dispatch(dev))
+            out.extend(self._dispatch(dev, dropped_at_stage))
             self._next_frame = self._next_stage - len(self._staged)
         return out
 
     def _run_one(self, window: np.ndarray) -> list[Column]:
         dev = jax.device_put(window.astype(np.float32, copy=False))
-        return self._dispatch(dev)
+        return self._dispatch(dev, self.dropped_frames)
 
-    def _dispatch(self, dev) -> list[Column]:
+    def _dispatch(self, dev, dropped: int) -> list[Column]:
         self._carry, (vis, rgba, _) = self._step(self._carry, dev, self.params)
         # host-side counter mirrors the carry so no device sync per hop;
-        # dropped_frames keeps Column.index on absolute audio time across
-        # overrun skip-aheads (Column docstring contract)
-        idx = self._t - self.pipe.reach + self.dropped_frames
+        # the stage-time drop count keeps Column.index on absolute audio
+        # time across overrun skip-aheads (Column docstring contract)
+        idx = self._t - self.pipe.reach + dropped
         self._t += 1
         if idx < 0:
             return []                                     # warmup, discarded
