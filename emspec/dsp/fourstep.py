@@ -76,31 +76,49 @@ def _mm(a, b):
     return out.reshape(lead + (b.shape[-1],))
 
 
-def fft_fourstep(z_r: jnp.ndarray, z_i: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Full complex DFT of z = z_r + i·z_i, shape (..., n) → (..., n)."""
+def fft_fourstep(z_r: jnp.ndarray, z_i: jnp.ndarray,
+                 use_pallas: bool | None = None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full complex DFT of z = z_r + i·z_i, shape (..., n) → (..., n).
+
+    use_pallas: None (auto — the fused steps-1–3 Pallas kernel on TPU for
+    MXU-shaped factorizations, emspec/dsp/pallas/fft4.py), or True/False
+    to force a path (tests)."""
     n = z_r.shape[-1]
     n1, n2 = _FACTORS[n]
-    C1, S1, TWr, TWi, C2, S2 = (jnp.asarray(t) for t in _tables(n))
     lead = z_r.shape[:-1]
     xr = z_r.reshape(lead + (n1, n2))
     xi = z_i.reshape(lead + (n1, n2))
 
-    # step 1: A = (C1 − i·S1) @ x, contraction over n1 — expressed as a
-    # direct dot_general over the -2 axis (einsum) so XLA chooses layouts
-    # instead of materializing four explicit transposes (measured 25%
-    # faster at the stress shape, BENCH.md round 2)
-    def dot1(m, x):
-        return jnp.einsum("kj,...jn->...kn", m, x, precision=_HI)
-    Ar = dot1(C1, xr) + dot1(S1, xi)                   # C1@xr + S1@xi
-    Ai = dot1(C1, xi) - dot1(S1, xr)                   # C1@xi − S1@xr
+    from emspec.dsp.pallas import fft4
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and fft4.supported(n1, n2))
+    if use_pallas:
+        b = int(np.prod(lead)) if lead else 1
+        Xr, Xi = fft4.fft4_steps123(xr.reshape(b, n1, n2),
+                                    xi.reshape(b, n1, n2))
+        Xr = Xr.reshape(lead + (n1, n2))
+        Xi = Xi.reshape(lead + (n1, n2))
+    else:
+        C1, S1, TWr, TWi, C2, S2 = (jnp.asarray(t) for t in _tables(n))
 
-    # step 2: twiddle (k1, n2) elementwise
-    Br = Ar * TWr + Ai * TWi
-    Bi = Ai * TWr - Ar * TWi
+        # step 1: A = (C1 − i·S1) @ x, contraction over n1 — expressed as
+        # a direct dot_general over the -2 axis (einsum) so XLA chooses
+        # layouts instead of materializing four explicit transposes
+        # (measured 25% faster at the stress shape, BENCH.md round 2)
+        def dot1(m, x):
+            return jnp.einsum("kj,...jn->...kn", m, x, precision=_HI)
+        Ar = dot1(C1, xr) + dot1(S1, xi)               # C1@xr + S1@xi
+        Ai = dot1(C1, xi) - dot1(S1, xr)               # C1@xi − S1@xr
 
-    # step 3: X[k1, k2] = Σ_{n2} B[k1, n2]·(C2 − i·S2)[n2, k2]
-    Xr = _mm(Br, C2) + _mm(Bi, S2)
-    Xi = _mm(Bi, C2) - _mm(Br, S2)
+        # step 2: twiddle (k1, n2) elementwise
+        Br = Ar * TWr + Ai * TWi
+        Bi = Ai * TWr - Ar * TWi
+
+        # step 3: X[k1, k2] = Σ_{n2} B[k1, n2]·(C2 − i·S2)[n2, k2]
+        Xr = _mm(Br, C2) + _mm(Bi, S2)
+        Xi = _mm(Bi, C2) - _mm(Br, S2)
 
     # step 4: out[k1 + N1·k2] → transpose (k2, k1) then flatten
     Xr = jnp.swapaxes(Xr, -1, -2).reshape(lead + (n,))

@@ -50,11 +50,39 @@ def validate_windowing(shapes=((90, 2048), (32768,)), atol: float = 0.0) -> None
         np.testing.assert_allclose(got, want, atol=atol)
 
 
+def validate_fft4(ns=(8192, 32768), rtol: float = 2e-5) -> None:
+    """Compile the fused four-step kernel on the live backend and check
+    it against the XLA four-step path (same decomposition, HIGHEST
+    matmuls) at the production FFT sizes."""
+    import jax.numpy as jnp
+    from emspec.dsp.fourstep import fft_fourstep
+
+    rng = np.random.default_rng(9)
+    for n in ns:
+        a = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+        want = fft_fourstep(a, b, use_pallas=False)
+        got = fft_fourstep(a, b, use_pallas=True)
+        scale = float(jnp.abs(want[0]).max())
+        for g, w in zip(got, want):
+            err = float(jnp.abs(g - w).max()) / scale
+            assert err < rtol, f"fft4 n={n}: rel err {err:.2e} > {rtol}"
+
+
 def validate_kernels(quick: bool = False) -> dict:
     """Run every kernel validation; returns a report dict for the bench.
-    On TPU this is a real Mosaic compile + execute of both kernels."""
+    On TPU this is a real Mosaic compile + execute of all three kernels;
+    off-TPU (e.g. `emspec bench` on a CPU box) the Pallas interpreter
+    stands in so the validation still runs."""
+    import contextlib
+
     import jax
+    from jax.experimental.pallas import tpu as pltpu
+    ctx = (contextlib.nullcontext() if jax.default_backend() == "tpu"
+           else pltpu.force_tpu_interpret_mode())
     shapes = ((4, 2048, 4608),) if quick else ((16, 16512, 4608), (4, 901, 1152))
-    validate_histogram(shapes)
-    validate_windowing(((16, 2048),) if quick else ((90, 2048), (32768,)))
+    with ctx:
+        validate_histogram(shapes)
+        validate_windowing(((16, 2048),) if quick else ((90, 2048), (32768,)))
+        validate_fft4((8192,) if quick else (8192, 32768))
     return {"backend": jax.default_backend(), "kernels_validated": True}

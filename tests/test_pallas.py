@@ -113,6 +113,43 @@ def test_pipeline_stream_scatter_backends_agree():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+# ------------------------------------------------------- fused fourstep
+@pytest.mark.parametrize("n", [8192, 32768])
+def test_fft4_kernel_matches_xla_fourstep_and_fft(n):
+    """The fused steps-1–3 kernel must agree with the XLA four-step path
+    and with jnp.fft to float32-class error (3-pass bf16 split)."""
+    from emspec.dsp.fourstep import fft_fourstep
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+    want_r, want_i = fft_fourstep(a, b, use_pallas=False)
+    with _interp():
+        got_r, got_i = fft_fourstep(a, b, use_pallas=True)
+    ref = jnp.fft.fft(a + 1j * b, axis=-1)
+    scale = float(jnp.abs(ref).max())
+    for g, w in ((got_r, want_r), (got_i, want_i),
+                 (got_r, ref.real), (got_i, ref.imag)):
+        assert float(jnp.abs(g - w).max()) / scale < 2e-5
+
+
+def test_fft4_streaming_single_frame_shape():
+    """The streaming step passes a single window (lead=()); the kernel
+    must handle b=1 (t_tile clamps)."""
+    from emspec.dsp.fourstep import fft_fourstep
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal(32768).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal(32768).astype(np.float32))
+    want_r, want_i = fft_fourstep(x, y, use_pallas=False)
+    with _interp():
+        got_r, got_i = fft_fourstep(x, y, use_pallas=True)
+    assert got_r.shape == (32768,)
+    scale = float(jnp.abs(want_r).max())
+    assert float(jnp.abs(got_r - want_r).max()) / scale < 2e-5
+    assert float(jnp.abs(got_i - want_i).max()) / scale < 2e-5
+
+
 # ------------------------------------------------------------- windowing
 @pytest.mark.parametrize("shape", [(7, 512), (2, 5, 512), (90, 2048)])
 def test_windowed_frames_parity(shape):

@@ -29,6 +29,13 @@ def test_windowing_mosaic_compile_parity():
     validate_windowing()
 
 
+def test_fft4_mosaic_compile_parity():
+    """The fused four-step FFT kernel through real Mosaic at both
+    production sizes (8192 primary, 32768 stress)."""
+    from emspec.dsp.pallas.validate import validate_fft4
+    validate_fft4()
+
+
 def test_pipeline_scatter_backends_agree_on_tpu():
     """End-to-end 8192-pt enhanced: Mosaic pallas scatter vs segment_sum
     on the actual chip (the auto path the primary metric uses)."""
