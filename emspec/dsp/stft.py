@@ -133,15 +133,23 @@ def stft_triple_stencil(frames: jnp.ndarray, fft_impl: str = "xla"
     and t·h frames packed as real/imag (emspec.dsp.fourstep) — the TPU
     fast path; float32-rounding-level differences vs "xla".
     """
+    n = frames.shape[-1]
+    X, X_th = stft_raw_pair(frames, fft_impl)
+    return stencil_from_raw(X, X_th, n)
+
+
+def stft_raw_pair(frames: jnp.ndarray, fft_impl: str = "xla"
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(raw spectrum X, t·h spectrum X_th) of pre-cut frames — the shared
+    front half of the stencil method (see stft_triple_stencil for the
+    engine semantics)."""
     from emspec.dsp.windows import time_weighted_hann
 
     n = frames.shape[-1]
     th = jnp.asarray(time_weighted_hann(n, frames.dtype))
     if fft_impl == "fourstep":
         from emspec.dsp.fourstep import packed_pair_fft
-        X, X_th = packed_pair_fft(frames, frames * th)
-    else:
-        stack = jnp.stack([frames, frames * th])           # (2, ..., n)
-        F = jnp.fft.rfft(stack, axis=-1)                   # (2, ..., k)
-        X, X_th = F[0], F[1]
-    return stencil_from_raw(X, X_th, n)
+        return packed_pair_fft(frames, frames * th)
+    stack = jnp.stack([frames, frames * th])               # (2, ..., n)
+    F = jnp.fft.rfft(stack, axis=-1)                       # (2, ..., k)
+    return F[0], F[1]

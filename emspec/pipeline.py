@@ -254,6 +254,12 @@ class Pipeline:
                     *stft_triple_stencil_sliced(frames, k_lo, k_hi))
                 X = None
             elif self.settings.fft_method == "stencil":
+                # NOTE (measured, round 2): reformulating the stencil as
+                # interior slices + edge columns to avoid the concat-
+                # shifted Xm1/Xp1 materializations made stress 38% SLOWER
+                # — minor-dim ±1 slices are lane-shift copies on TPU too,
+                # and there are three of them vs two concats.  The concat
+                # formulation stays.
                 X = stft_triple_stencil(frames, self.fft_impl)
             else:
                 if jax.default_backend() == "tpu":
