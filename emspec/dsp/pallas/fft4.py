@@ -46,28 +46,50 @@ def _d3(ah, al, bh, bl):
             + jnp.dot(al, bh, preferred_element_type=f32))
 
 
+def _fft4_frame(zr_t, zi_t, tables):
+    """One frame's four-step steps 1–3 in VMEM: (n1, n2) complex in →
+    X[k1, k2] with k = k1 + n1·k2 (pre-step-4 order)."""
+    (C1h, C1l, S1h, S1l, TWr, TWi, C2h, C2l, S2h, S2l) = tables
+    xrh, xrl = _split(zr_t)
+    xih, xil = _split(zi_t)
+    # step 1: A = (C1 − i·S1) @ x, contraction over n1
+    Ar = _d3(C1h, C1l, xrh, xrl) + _d3(S1h, S1l, xih, xil)
+    Ai = _d3(C1h, C1l, xih, xil) - _d3(S1h, S1l, xrh, xrl)
+    # step 2: twiddle (k1, n2), elementwise in VMEM
+    Br = Ar * TWr + Ai * TWi
+    Bi = Ai * TWr - Ar * TWi
+    # step 3: X = B @ (C2 − i·S2), contraction over n2
+    Brh, Brl = _split(Br)
+    Bih, Bil = _split(Bi)
+    Xr = _d3(Brh, Brl, C2h, C2l) + _d3(Bih, Bil, S2h, S2l)
+    Xi = _d3(Bih, Bil, C2h, C2l) - _d3(Brh, Brl, S2h, S2l)
+    return Xr, Xi
+
+
+def _fft4_frame_real(x_t, tables):
+    """One REAL frame's four-step steps 1–3 in VMEM (zi = 0: step 1
+    halves to two split-products).  → full-range X[k1, k2]."""
+    (C1h, C1l, S1h, S1l, TWr, TWi, C2h, C2l, S2h, S2l) = tables
+    xh, xl = _split(x_t)
+    Ar = _d3(C1h, C1l, xh, xl)
+    Ai = -_d3(S1h, S1l, xh, xl)
+    Br = Ar * TWr + Ai * TWi
+    Bi = Ai * TWr - Ar * TWi
+    Brh, Brl = _split(Br)
+    Bih, Bil = _split(Bi)
+    Xr = _d3(Brh, Brl, C2h, C2l) + _d3(Bih, Bil, S2h, S2l)
+    Xi = _d3(Bih, Bil, C2h, C2l) - _d3(Brh, Brl, S2h, S2l)
+    return Xr, Xi
+
+
 def _fft4_kernel(zr_ref, zi_ref, c1h_ref, c1l_ref, s1h_ref, s1l_ref,
                  twr_ref, twi_ref, c2h_ref, c2l_ref, s2h_ref, s2l_ref,
                  xr_ref, xi_ref, *, t_tile: int):
-    C1h, C1l = c1h_ref[:], c1l_ref[:]
-    S1h, S1l = s1h_ref[:], s1l_ref[:]
-    TWr, TWi = twr_ref[:], twi_ref[:]
-    C2h, C2l = c2h_ref[:], c2l_ref[:]
-    S2h, S2l = s2h_ref[:], s2l_ref[:]
+    tables = (c1h_ref[:], c1l_ref[:], s1h_ref[:], s1l_ref[:],
+              twr_ref[:], twi_ref[:], c2h_ref[:], c2l_ref[:],
+              s2h_ref[:], s2l_ref[:])
     for t in range(t_tile):                     # static unroll
-        xrh, xrl = _split(zr_ref[t])            # (n1, n2)
-        xih, xil = _split(zi_ref[t])
-        # step 1: A = (C1 − i·S1) @ x, contraction over n1
-        Ar = _d3(C1h, C1l, xrh, xrl) + _d3(S1h, S1l, xih, xil)
-        Ai = _d3(C1h, C1l, xih, xil) - _d3(S1h, S1l, xrh, xrl)
-        # step 2: twiddle (k1, n2), elementwise in VMEM
-        Br = Ar * TWr + Ai * TWi
-        Bi = Ai * TWr - Ar * TWi
-        # step 3: X = B @ (C2 − i·S2), contraction over n2
-        Brh, Brl = _split(Br)
-        Bih, Bil = _split(Bi)
-        xr_ref[t] = _d3(Brh, Brl, C2h, C2l) + _d3(Bih, Bil, S2h, S2l)
-        xi_ref[t] = _d3(Bih, Bil, C2h, C2l) - _d3(Brh, Brl, S2h, S2l)
+        xr_ref[t], xi_ref[t] = _fft4_frame(zr_ref[t], zi_ref[t], tables)
 
 
 @functools.partial(jax.jit, static_argnames=("t_tile",))
@@ -141,3 +163,187 @@ def supported(n1: int, n2: int) -> bool:
     """MXU-shaped factorizations only: small n1 starves the M dimension
     and the XLA path already wins there (BENCH.md policy)."""
     return n1 >= 64 and n2 >= 128
+
+
+# ---------------------------------------------------------------------------
+# Fused analysis kernel: FFT → Hermitian unpack → stencil → reassignment
+# corrections → quantized deposits, one VMEM pass per frame.
+# ---------------------------------------------------------------------------
+
+def _host_tables(n: int):
+    """DFT tables as (bf16 hi, bf16 lo) pairs + f32 twiddles (host)."""
+    from emspec.dsp.fourstep import _tables
+
+    C1, S1, TWr, TWi, C2, S2 = _tables(n)
+
+    def pair(m):
+        hi = m.astype(np.float32).astype(jnp.bfloat16)
+        lo = (m.astype(np.float32)
+              - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    c1h, c1l = pair(C1)
+    s1h, s1l = pair(S1)
+    c2h, c2l = pair(C2)
+    s2h, s2l = pair(S2)
+    return (c1h, c1l, s1h, s1l, jnp.asarray(TWr), jnp.asarray(TWi),
+            c2h, c2l, s2h, s2l)
+
+
+def _deposits_kernel(scal_ref, zr_ref, th_ref,
+                     c1h_ref, c1l_ref, s1h_ref, s1l_ref,
+                     twr_ref, twi_ref, c2h_ref, c2l_ref, s2h_ref, s2l_ref,
+                     row_ref, delta_ref, contrib_ref, *,
+                     t_tile: int, n1: int, n2: int, hop: int, sr: float,
+                     rows: int):
+    """Per frame: Z = fft(frames + i·th·frames) in (k1, k2) layout, then —
+    entirely in VMEM — Hermitian unpack into the raw (A) and t·h (B)
+    spectra, the periodic-Hann stencils, the Auger–Flandrin corrections,
+    and the display-grid quantization.  Output order is (k1, k2)-major:
+    the scatter is a histogram, so deposit order is irrelevant — no
+    step-4 reindex/transpose ever touches HBM.
+
+    Hermitian edges need no special cases: with the FULL k = 0..N−1
+    spectrum resident, A((k±1) mod N) exists literally, and
+    A(N−k) == conj(A(k)) holds bit-exactly (the unpack averages are
+    commutative), so the wrapped neighbors equal the conj-reflected
+    values the sliced formulation (stencil_from_raw) special-cases.
+    """
+    n = n1 * n2
+    k2_keep = n2 // 2 + 1
+    tables = (c1h_ref[:], c1l_ref[:], s1h_ref[:], s1l_ref[:],
+              twr_ref[:], twi_ref[:], c2h_ref[:], c2l_ref[:],
+              s2h_ref[:], s2l_ref[:])
+    logmap_a = scal_ref[0]
+    logmap_b = scal_ref[1]
+    power_floor = scal_ref[2]
+
+    # static index grids (k1, k2_keep): true bin index k = k1 + n1·k2
+    # (integer iota — Mosaic's tpu.iota has no float flavor)
+    k1g = jax.lax.broadcasted_iota(jnp.int32, (n1, k2_keep), 0)
+    k2g = jax.lax.broadcasted_iota(jnp.int32, (n1, k2_keep), 1)
+    kg = (k1g + n1 * k2g).astype(jnp.float32)
+    # bins beyond N/2 inside the kept block: k2 == n2/2 with k1 > 0
+    k_valid = kg <= float(n // 2)
+
+    for t in range(t_tile):
+        # two REAL-input transforms (raw and t·h·frames, the window
+        # applied in VMEM from the resident table).  No complex packing:
+        # Mosaic has no `rev` primitive, so the Hermitian unpack's
+        # reflection is unavailable in-kernel — and with full-range real
+        # spectra there is nothing to unpack (A(N−k) = conj(A(k)) holds
+        # identically; neighbors are plain wrapped shifts).  Costs +50%
+        # MXU dots vs the packed transform, buys back the whole
+        # unpack+stencil+corrections HBM round-trip.
+        fr = zr_ref[t]
+        Ar, Ai = _fft4_frame_real(fr, tables)                # raw spectrum
+        Br, Bi = _fft4_frame_real(fr * th_ref[:], tables)    # t·h spectrum
+        # neighbors A((k∓1) mod N) — shifts along k1 with a k2 carry row
+        def prev_k(M):
+            wrap = jnp.concatenate([M[-1:, -1:], M[-1:, :-1]], 1)
+            return jnp.concatenate([wrap, M[:-1, :]], 0)
+        def next_k(M):
+            wrap = jnp.concatenate([M[:1, 1:], M[:1, :1]], 1)
+            return jnp.concatenate([M[1:, :], wrap], 0)
+        Am1r, Am1i = prev_k(Ar), prev_k(Ai)
+        Ap1r, Ap1i = next_k(Ar), next_k(Ai)
+        # periodic-Hann stencils (DESIGN.md §3)
+        Xhr = 0.5 * Ar - 0.25 * (Am1r + Ap1r)
+        Xhi = 0.5 * Ai - 0.25 * (Am1i + Ap1i)
+        c = jnp.float32(0.5 * np.pi / n)       # X_dh = (−iπ/2n)(Am1 − Ap1)
+        Xdr = c * (Am1i - Ap1i)
+        Xdi = -c * (Am1r - Ap1r)
+        # Auger–Flandrin corrections (emspec.dsp.reassign)
+        power = Xhr * Xhr + Xhi * Xhi
+        inv = 1.0 / jnp.maximum(power, 1e-30)
+        dt = (Br * Xhr + Bi * Xhi) * inv
+        dw = -(Xdi * Xhr - Xdr * Xhi) * inv
+        # display-grid quantization (pipeline._deposits contract)
+        power = power[:, :k2_keep]
+        dt = dt[:, :k2_keep]
+        dw = dw[:, :k2_keep]
+        f_hat = (kg + dw * jnp.float32(n / (2.0 * np.pi))) * jnp.float32(sr / n)
+        delta = jnp.round(dt * jnp.float32(1.0 / hop)).astype(jnp.int32)
+        row_f = (jnp.log2(jnp.maximum(f_hat, 1e-6)) - logmap_a) * logmap_b
+        row = jnp.round(row_f).astype(jnp.int32)
+        valid = ((power > power_floor)
+                 & (row >= 0) & (row < rows)
+                 & (f_hat > 0)
+                 & (jnp.abs(dt) <= jnp.float32(n))
+                 & k_valid)
+        row_ref[t] = jnp.clip(row, 0, rows - 1)
+        delta_ref[t] = delta
+        contrib_ref[t] = jnp.where(valid, power * jnp.float32(1.0 / (float(n) * float(n))), 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "hop", "sr", "rows",
+                                             "t_tile"))
+def fft4_deposits(frames: jnp.ndarray,
+                  logmap_a, logmap_b, power_floor, *,
+                  n: int, hop: int, sr: float, rows: int,
+                  t_tile: int = 8):
+    """Fused single-bank enhanced analysis: frames → (row, delta, contrib).
+
+    frames: (B, n) float32 — the t·h windowing happens in VMEM from a
+    resident table.  Returns int32 rows and column deltas plus float32
+    contributions, each (B, n1·(n2/2+1)) in (k1, k2)-major order — a
+    permutation of the bins that the histogram scatter is invariant to.
+    Deposits at k > N/2 (the n1−1 Hermitian duplicates in the kept
+    block) carry zero contribution.
+
+    Matches pipeline._deposits' unfused quantization contract; the
+    fourstep domain's tolerance rules apply (DESIGN.md §5, ulp-level on
+    TPU, verified by tests).
+    """
+    from emspec.dsp.fourstep import _FACTORS
+    from emspec.dsp.windows import time_weighted_hann
+
+    n1, n2 = _FACTORS[n]
+    k2_keep = n2 // 2 + 1
+    b = frames.shape[0]
+    tt = min(t_tile, b)
+    b_pad = -(-b // tt) * tt
+    zr = frames.reshape(b, n1, n2)
+    if b_pad != b:
+        zr = jnp.pad(zr, ((0, b_pad - b), (0, 0), (0, 0)))
+    th = jnp.asarray(time_weighted_hann(n, np.float32)).reshape(n1, n2)
+    scal = jnp.stack([jnp.float32(logmap_a), jnp.float32(logmap_b),
+                      jnp.float32(power_floor)])
+    tables = _host_tables(n)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    frame_in = pl.BlockSpec((tt, n1, n2), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    frame_out = pl.BlockSpec((tt, n1, k2_keep), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vmem_limit = (8 * tt * n1 * n2 * 4
+                  + 2 * (n1 * n1 * 2 * 2 + n2 * n2 * 2 * 2) + 2 * n1 * n2 * 4
+                  + 40 * n1 * n2 * 4 + (4 << 20))
+    row, delta, contrib = pl.pallas_call(
+        functools.partial(_deposits_kernel, t_tile=tt, n1=n1, n2=n2,
+                          hop=hop, sr=sr, rows=rows),
+        grid=(b_pad // tt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  frame_in, const((n1, n2)),
+                  const((n1, n1)), const((n1, n1)),
+                  const((n1, n1)), const((n1, n1)),
+                  const((n1, n2)), const((n1, n2)),
+                  const((n2, n2)), const((n2, n2)),
+                  const((n2, n2)), const((n2, n2))],
+        out_specs=[frame_out, frame_out, frame_out],
+        out_shape=[jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.int32),
+                   jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.int32),
+                   jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * 3 * 4 * n1 * n2 * (n1 + n2),
+            bytes_accessed=b_pad * n1 * n2 * 4 * 5,
+            transcendentals=b_pad * n1 * k2_keep,
+        ),
+    )(scal, zr, th, *tables)
+    flat = (b_pad, n1 * k2_keep)
+    return (row.reshape(flat)[:b], delta.reshape(flat)[:b],
+            contrib.reshape(flat)[:b])

@@ -104,6 +104,13 @@ class Pipeline:
             k_lo = max(int(np.floor(lo_hz / bin_hz)) - 1, 0)
             k_hi = min(int(np.ceil(hi_hz / bin_hz)) + 2, k_count)
             self.k_slices.append((k_lo, k_hi))
+        if n_banks == 1:
+            # the fused deposits kernel assumes the single-bank band
+            # weight is identically 1 (partition-of-unity with one part)
+            probe = band_weight_at(
+                np.linspace(1.0, s.sample_rate / 2.0, 64), 0, 1,
+                s.crossover_low, s.crossover_high)
+            assert np.all(probe == 1.0), "single-bank band weight != 1"
         self._batch_jit = jax.jit(self._batch_vis, static_argnames=("t_count",))
         # the canonical streaming executable: shared by Stream and prewarm()
         # so warming actually hits the cache the live stream will use
@@ -122,6 +129,22 @@ class Pipeline:
             return (jax.default_backend() == "tpu"
                     and (2 * self.reach + 1) * self.rows <= 16384)
         return s == "pallas"
+
+    def _use_fused_deposits(self, n: int) -> bool:
+        """Fused FFT→deposits kernel policy: enhanced single-bank on TPU
+        under the resolved fourstep engine with an MXU-shaped
+        factorization (the same domain where fourstep already owns the
+        tolerance contract — DESIGN.md §5)."""
+        from emspec.dsp import fourstep
+        from emspec.dsp.pallas import fft4
+        if (self.settings.fft_method != "stencil"
+                or self.fft_impl != "fourstep"
+                or len(self.sizes) != 1
+                or jax.default_backend() != "tpu"
+                or not fourstep.supported(n)):
+            return False
+        n1, n2 = fourstep._FACTORS[n]
+        return fft4.supported(n1, n2)
 
     def _use_pruned_dft(self, n: int, k_lo: int, k_hi: int) -> bool:
         """Pruned-DFT-as-GEMM policy: a band-sliced bank keeping K bins
@@ -244,6 +267,23 @@ class Pipeline:
         rows_l, delta_l, contrib_l = [], [], []
         for frames, n, bb, (k_lo, k_hi) in zip(
                 frames_list, self.sizes, p.band_bins, self.k_slices):
+            if self._use_fused_deposits(n):
+                # single-bank TPU fast path: FFT + unpack + stencil +
+                # corrections + quantize fused in one VMEM kernel
+                # (emspec.dsp.pallas.fft4.fft4_deposits); deposit order is
+                # (k1,k2)-major — a permutation the scatter is invariant
+                # to.  Single bank ⇒ band weight ≡ 1 (asserted at
+                # construction), so bb never enters.
+                from emspec.dsp.pallas.fft4 import fft4_deposits
+                lead = frames.shape[:-1]
+                row, delta, contrib = fft4_deposits(
+                    frames.reshape(-1, n), p.logmap_a, p.logmap_b,
+                    p.power_floor, n=n, hop=self.hop, sr=sr,
+                    rows=self.rows)
+                rows_l.append(row.reshape(lead + (-1,)))
+                delta_l.append(delta.reshape(lead + (-1,)))
+                contrib_l.append(contrib.reshape(lead + (-1,)))
+                continue
             if (self.settings.fft_method == "stencil"
                     and self._use_pruned_dft(n, k_lo, k_hi)):
                 # band-sliced bank keeps K ≪ n/2 bins: the pruned DFT is

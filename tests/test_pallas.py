@@ -150,6 +150,56 @@ def test_fft4_streaming_single_frame_shape():
     assert float(jnp.abs(got_i - want_i).max()) / scale < 2e-5
 
 
+def test_fft4_deposits_matches_unfused_path():
+    """The fused FFT→deposits kernel must reproduce the unfused
+    stencil+corrections+quantize chain: deposits are order-permuted, so
+    compare as histograms — total energy ≤1e-3 rel and 3×3 max-filter
+    agreement (the DESIGN.md §9 quantized-scatter methodology; low-bit
+    engine differences can move a deposit one cell)."""
+    from emspec.dsp.pallas.fft4 import fft4_deposits
+    from emspec.dsp.reassign import reassignment_corrections
+    from emspec.dsp.stft import stft_triple_stencil
+
+    rng = np.random.default_rng(13)
+    n, hop, rows, sr = 8192, 2048, 128, 48000.0
+    B = 4
+    frames = jnp.asarray(
+        (0.2 * rng.standard_normal((B, n))
+         + np.sin(2 * np.pi * 440.0 / sr * np.arange(n))[None]
+         ).astype(np.float32))
+    a_ = np.float32(np.log2(20.0))
+    b_ = np.float32((rows - 1) / (np.log2(24000.0) - np.log2(20.0)))
+    floor = np.float32(1e-12)
+
+    X = stft_triple_stencil(frames, "fourstep")
+    power, dt, dw = reassignment_corrections(*X)
+    k_idx = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+    f_hat = (k_idx + dw * (n / (2 * np.pi))) * (sr / n)
+    delta_w = jnp.round(dt / hop).astype(jnp.int32)
+    row_w = jnp.round((jnp.log2(jnp.maximum(f_hat, 1e-6)) - a_) * b_
+                      ).astype(jnp.int32)
+    valid = ((power > floor) & (row_w >= 0) & (row_w < rows)
+             & (f_hat > 0) & (jnp.abs(dt) <= float(n)))
+    contrib_w = jnp.where(valid, power * (1.0 / (float(n) * n)), 0.0)
+    row_w = jnp.clip(row_w, 0, rows - 1)
+
+    with _interp():
+        row_g, delta_g, contrib_g = fft4_deposits(
+            frames, a_, b_, floor, n=n, hop=hop, sr=sr, rows=rows)
+
+    R, P = 4, 9
+    def hist(r, d, c):
+        return np.asarray(histogram_reference(
+            (d + R) * rows + r, c, P * rows)).reshape(B, P, rows)
+    hw = hist(row_w, delta_w, contrib_w)
+    hg = hist(row_g, delta_g, contrib_g)
+    assert abs(hw.sum() - hg.sum()) / hw.sum() < 1e-3
+    from scipy.ndimage import maximum_filter
+    np.testing.assert_allclose(maximum_filter(hg, size=(1, 3, 3)),
+                               maximum_filter(hw, size=(1, 3, 3)),
+                               atol=1e-3 * hw.max())
+
+
 # ------------------------------------------------------------- windowing
 @pytest.mark.parametrize("shape", [(7, 512), (2, 5, 512), (90, 2048)])
 def test_windowed_frames_parity(shape):
