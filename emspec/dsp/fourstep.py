@@ -90,11 +90,16 @@ def fft_fourstep(z_r: jnp.ndarray, z_i: jnp.ndarray,
     xr = z_r.reshape(lead + (n1, n2))
     xi = z_i.reshape(lead + (n1, n2))
 
-    from emspec.dsp.pallas import fft4
     if use_pallas is None:
-        use_pallas = (jax.default_backend() == "tpu"
-                      and fft4.supported(n1, n2))
+        if jax.default_backend() == "tpu":
+            from emspec.dsp.pallas import fft4
+            use_pallas = fft4.supported(n1, n2)
+        else:
+            use_pallas = False
     if use_pallas:
+        # import inside the branch: the pure-XLA path must stay usable
+        # even if a jax upgrade moves the Mosaic APIs (CLAUDE.md risk)
+        from emspec.dsp.pallas import fft4
         b = int(np.prod(lead)) if lead else 1
         Xr, Xi = fft4.fft4_steps123(xr.reshape(b, n1, n2),
                                     xi.reshape(b, n1, n2))

@@ -102,24 +102,9 @@ def fft4_steps123(zr: jnp.ndarray, zi: jnp.ndarray,
     the step-4 reindex (same contract as the XLA path's pre-transpose
     result in emspec.dsp.fourstep.fft_fourstep).
     """
-    from emspec.dsp.fourstep import _tables
-
     b, n1, n2 = zr.shape
     n = n1 * n2
-    C1, S1, TWr, TWi, C2, S2 = _tables(n)
-    # pre-split tables to bf16 pairs on host (exact: hi+lo == f32 value)
-    def pair(m):
-        hi = m.astype(np.float32).astype(jnp.bfloat16)
-        lo = (m.astype(np.float32)
-              - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
-        return jnp.asarray(hi), jnp.asarray(lo)
-    c1h, c1l = pair(C1)
-    s1h, s1l = pair(S1)
-    c2h, c2l = pair(C2.astype(np.float32))
-    s2h, s2l = pair(S2.astype(np.float32))
-    twr = jnp.asarray(TWr)
-    twi = jnp.asarray(TWi)
-
+    tables = _host_tables(n)
     tt = min(t_tile, b)
     b_pad = -(-b // tt) * tt
     if b_pad != b:
@@ -155,7 +140,7 @@ def fft4_steps123(zr: jnp.ndarray, zi: jnp.ndarray,
             bytes_accessed=b_pad * n1 * n2 * 4 * 4,
             transcendentals=0,
         ),
-    )(zr, zi, c1h, c1l, s1h, s1l, twr, twi, c2h, c2l, s2h, s2l)
+    )(zr, zi, *tables)
     return xr[:b], xi[:b]
 
 
@@ -171,7 +156,10 @@ def supported(n1: int, n2: int) -> bool:
 # ---------------------------------------------------------------------------
 
 def _host_tables(n: int):
-    """DFT tables as (bf16 hi, bf16 lo) pairs + f32 twiddles (host)."""
+    """DFT tables as (bf16 hi, bf16 lo) pairs + f32 twiddles (host).
+    hi+lo carries ~16 of the 24 mantissa bits; together with the 3-pass
+    split-dot this gives Precision.HIGH-class accuracy (measured equal
+    to HIGHEST for the four-step algorithm, BENCH.md), not exactness."""
     from emspec.dsp.fourstep import _tables
 
     C1, S1, TWr, TWi, C2, S2 = _tables(n)
@@ -196,18 +184,19 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref,
                      row_ref, delta_ref, contrib_ref, *,
                      t_tile: int, n1: int, n2: int, hop: int, sr: float,
                      rows: int):
-    """Per frame: Z = fft(frames + i·th·frames) in (k1, k2) layout, then —
-    entirely in VMEM — Hermitian unpack into the raw (A) and t·h (B)
-    spectra, the periodic-Hann stencils, the Auger–Flandrin corrections,
-    and the display-grid quantization.  Output order is (k1, k2)-major:
-    the scatter is a histogram, so deposit order is irrelevant — no
-    step-4 reindex/transpose ever touches HBM.
+    """Per frame: the raw and t·h spectra via two real-input four-step
+    chains, then — entirely in VMEM — the periodic-Hann stencils, the
+    Auger–Flandrin corrections, and the display-grid quantization.
+    Output order is (k1, k2)-major: the scatter is a histogram, so
+    deposit order is irrelevant — no step-4 reindex/transpose ever
+    touches HBM.
 
     Hermitian edges need no special cases: with the FULL k = 0..N−1
-    spectrum resident, A((k±1) mod N) exists literally, and
-    A(N−k) == conj(A(k)) holds bit-exactly (the unpack averages are
-    commutative), so the wrapped neighbors equal the conj-reflected
-    values the sliced formulation (stencil_from_raw) special-cases.
+    spectrum resident, A((k±1) mod N) exists literally and equals the
+    conj-reflected value the sliced formulation (stencil_from_raw)
+    special-cases — up to the engine's own table rounding (A(N−k) and
+    conj(A(k)) come from different cos/sin entries), which sits inside
+    the fourstep tolerance contract the tests pin.
     """
     n = n1 * n2
     k2_keep = n2 // 2 + 1
@@ -263,7 +252,11 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref,
         dt = dt[:, :k2_keep]
         dw = dw[:, :k2_keep]
         f_hat = (kg + dw * jnp.float32(n / (2.0 * np.pi))) * jnp.float32(sr / n)
-        delta = jnp.round(dt * jnp.float32(1.0 / hop)).astype(jnp.int32)
+        # same expression as pipeline._deposits / the oracle: round(Δt/hop)
+        # as a DIVISION — a reciprocal-multiply differs by an ulp near
+        # half-hop ties for non-power-of-two hops (quantization contract,
+        # CLAUDE.md invariants)
+        delta = jnp.round(dt / jnp.float32(hop)).astype(jnp.int32)
         row_f = (jnp.log2(jnp.maximum(f_hat, 1e-6)) - logmap_a) * logmap_b
         row = jnp.round(row_f).astype(jnp.int32)
         valid = ((power > power_floor)

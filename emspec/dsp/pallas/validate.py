@@ -69,20 +69,83 @@ def validate_fft4(ns=(8192, 32768), rtol: float = 2e-5) -> None:
             assert err < rtol, f"fft4 n={n}: rel err {err:.2e} > {rtol}"
 
 
+def validate_deposits(n: int = 8192, b: int = 3) -> None:
+    """Compile the fused analysis kernel (fft4_deposits) on the live
+    backend and check its scattered histogram against the unfused
+    stencil+corrections+quantize chain (energy + 3×3 max-filter — the
+    DESIGN.md §9 quantized-scatter methodology)."""
+    import jax.numpy as jnp
+    from emspec.dsp.pallas.fft4 import fft4_deposits
+    from emspec.dsp.pallas.scatter import histogram_reference
+    from emspec.dsp.reassign import reassignment_corrections
+    from emspec.dsp.stft import stft_triple_stencil
+
+    rng = np.random.default_rng(10)
+    hop, rows, sr = n // 4, 128, 48000.0
+    frames = jnp.asarray(
+        (0.2 * rng.standard_normal((b, n))
+         + np.sin(2 * np.pi * 440.0 / sr * np.arange(n))[None]
+         ).astype(np.float32))
+    a_ = np.float32(np.log2(20.0))
+    b_ = np.float32((rows - 1) / (np.log2(sr / 2) - np.log2(20.0)))
+    floor = np.float32(1e-12)
+
+    import jax
+
+    @jax.jit
+    def unfused(frames):
+        # eager complex math hits unimplemented paths on remote backends
+        X = stft_triple_stencil(frames, "fourstep")
+        power, dt, dw = reassignment_corrections(*X)
+        k_idx = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+        f_hat = (k_idx + dw * (n / (2 * np.pi))) * (sr / n)
+        delta_w = jnp.round(dt / hop).astype(jnp.int32)
+        row_w = jnp.round((jnp.log2(jnp.maximum(f_hat, 1e-6)) - a_) * b_
+                          ).astype(jnp.int32)
+        valid = ((power > floor) & (row_w >= 0) & (row_w < rows)
+                 & (f_hat > 0) & (jnp.abs(dt) <= float(n)))
+        contrib_w = jnp.where(valid, power * (1.0 / (float(n) * n)), 0.0)
+        return jnp.clip(row_w, 0, rows - 1), delta_w, contrib_w
+
+    row_w, delta_w, contrib_w = unfused(frames)
+    row_g, delta_g, contrib_g = fft4_deposits(
+        frames, a_, b_, floor, n=n, hop=hop, sr=sr, rows=rows)
+
+    R, P = 4, 9
+    def hist(r, d, c):
+        return np.asarray(histogram_reference(
+            (d + R) * rows + r, c, P * rows))
+    hw = hist(row_w, delta_w, contrib_w)
+    hg = hist(row_g, delta_g, contrib_g)
+    assert abs(hw.sum() - hg.sum()) / max(hw.sum(), 1e-12) < 1e-3
+    try:
+        from scipy.ndimage import maximum_filter
+    except ImportError:
+        return
+    mf_w = maximum_filter(hw.reshape(b, P, rows), size=(1, 3, 3))
+    mf_g = maximum_filter(hg.reshape(b, P, rows), size=(1, 3, 3))
+    np.testing.assert_allclose(mf_g, mf_w, atol=1e-3 * hw.max())
+
+
 def validate_kernels(quick: bool = False) -> dict:
     """Run every kernel validation; returns a report dict for the bench.
-    On TPU this is a real Mosaic compile + execute of all three kernels;
+    On TPU this is a real Mosaic compile + execute of all four kernels;
     off-TPU (e.g. `emspec bench` on a CPU box) the Pallas interpreter
-    stands in so the validation still runs."""
+    stands in — at the quick shapes only, the interpreter grinds at the
+    production ones."""
     import contextlib
 
     import jax
     from jax.experimental.pallas import tpu as pltpu
-    ctx = (contextlib.nullcontext() if jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        quick = True
+    ctx = (contextlib.nullcontext() if on_tpu
            else pltpu.force_tpu_interpret_mode())
     shapes = ((4, 2048, 4608),) if quick else ((16, 16512, 4608), (4, 901, 1152))
     with ctx:
         validate_histogram(shapes)
         validate_windowing(((16, 2048),) if quick else ((90, 2048), (32768,)))
         validate_fft4((8192,) if quick else (8192, 32768))
+        validate_deposits(8192 if quick else 32768)
     return {"backend": jax.default_backend(), "kernels_validated": True}

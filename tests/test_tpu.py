@@ -126,6 +126,46 @@ def test_fused_deposits_pipeline_parity_on_tpu():
     assert abs(got.sum() - want.sum()) / max(want.sum(), 1e-9) < 5e-3
 
 
+def test_fused_deposits_streaming_equals_batch_on_tpu():
+    """Streaming ≡ batch for the fused analysis kernel — the default
+    single-bank TPU hot path, where batch (t_tile=8) and streaming
+    (t_tile=1) are different Mosaic specializations.  Compared through
+    the TPU tolerance contract (ulp-level + max-filter for quantization
+    cliffs), like the multires test above."""
+    import jax.numpy as jnp
+    from scipy.ndimage import maximum_filter
+
+    from emspec.config import Settings
+    from emspec.pipeline import Pipeline
+    from emspec.io import synth
+
+    s = Settings(mode="enhanced", multires=False, fft_size=8192,
+                 raster_height=128, smoothing=0.4)
+    pipe = Pipeline(s)
+    assert pipe._use_fused_deposits(8192)
+    x = np.asarray(synth.chirp(120.0, 9000.0, 0.8)
+                   + synth.tone(440.0, 0.8, amplitude=0.3), np.float32)
+    t = pipe.num_columns(len(x))
+    vis_b, _, _ = pipe.process(x)
+
+    carry = pipe.init_stream_carry(())
+    p = pipe.params()
+    outs = []
+    for h in range(t + pipe.reach):
+        w = np.zeros(pipe.n_max, np.float32)
+        if h < t:
+            chunk = x[h * pipe.hop: h * pipe.hop + pipe.n_max]
+            w[:len(chunk)] = chunk
+        carry, (vis, _, _) = pipe._stream_jit(carry, jnp.asarray(w), p)
+        if h >= pipe.reach:
+            outs.append(np.asarray(vis))
+    got = np.stack(outs)
+    want = np.asarray(vis_b)[:len(got)]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    np.testing.assert_allclose(maximum_filter(got, 3),
+                               maximum_filter(want, 3), atol=1e-4)
+
+
 def test_stream_step_compiles_with_pallas_on_tpu():
     """The donated-carry streaming executable (the live hot path) through
     Mosaic at the default multires settings."""
