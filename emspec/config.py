@@ -96,6 +96,14 @@ class Settings:
                                         # "auto" (pallas on TPU), "pallas",
                                         # or "segment_sum" (SURVEY §7 hard
                                         # part 1: keep both, parity-tested)
+    scatter_passes: int = 2             # pallas scatter bf16 split terms:
+                                        # 2 (default) bounds the histogram
+                                        # error at 2^-16 relative; 1 is a
+                                        # display-grade mode (~4e-3 rel,
+                                        # invisible through the 8-bit LUT;
+                                        # measured only +6% on stress — the
+                                        # kernel is not purely pass-bound);
+                                        # 3 is f32-exact
     crossover_low: float = 200.0        # multires band edge: 8192-bank below
     crossover_high: float = 2000.0      # multires band edge: 512-bank above
     low_end_cutoff: float = 200.0       # Low-End-Boost ramp corner frequency
@@ -118,6 +126,8 @@ class Settings:
             raise ValueError("smoothing must be in [0, 1)")
         if self.scatter not in ("auto", "pallas", "segment_sum"):
             raise ValueError(f"unknown scatter backend: {self.scatter!r}")
+        if self.scatter_passes not in (1, 2, 3):
+            raise ValueError("scatter_passes must be 1, 2 or 3")
         if self.fft_method not in ("stencil", "direct"):
             raise ValueError(f"unknown fft_method: {self.fft_method!r}")
         if self.fft_impl not in ("auto", "fourstep", "xla"):
@@ -167,7 +177,7 @@ class Settings:
 STRUCTURAL_FIELDS = frozenset({
     "fft_size", "sample_rate", "channels", "mode", "multires",
     "multires_sizes", "raster_height", "raster_width", "hop", "agc_global",
-    "scatter", "fft_method", "fft_impl",
+    "scatter", "scatter_passes", "fft_method", "fft_impl",
     # analysis-geometry knobs: they shape the precomputed merge tables and
     # the per-bank band-support slices, so changing them re-specializes
     # (freq_scale zoom stays continuous — support is zoom-independent)

@@ -375,7 +375,8 @@ class Pipeline:
         P = 2 * R + 1
         # out-of-range ids fall outside [0, P*rows) and contribute nothing
         ids_rel = (delta + R) * self.rows + rows_i
-        hist = histogram_matmul(ids_rel, contrib, P * self.rows)
+        hist = histogram_matmul(ids_rel, contrib, P * self.rows,
+                                    passes=self.settings.scatter_passes)
         hist = hist.reshape(hist.shape[:-1] + (P, self.rows))  # (..., t, P, rows)
         hist = jnp.moveaxis(hist, -3, 0)                       # (t, ..., P, rows)
         out = jnp.zeros((t_count,) + hist.shape[1:-2] + (self.rows,), jnp.float32)
@@ -444,7 +445,8 @@ class Pipeline:
                 # acc slot of offset δ is (t+δ) mod P = roll by (t−R) mod P
                 from emspec.dsp.pallas.scatter import histogram_matmul
                 ids_rel = (delta + R_) * self.rows + rows_i
-                hist = histogram_matmul(ids_rel, contrib, P * self.rows)
+                hist = histogram_matmul(ids_rel, contrib, P * self.rows,
+                                    passes=self.settings.scatter_passes)
                 hist = hist.reshape(hist.shape[:-1] + (P, self.rows))
                 dep = jnp.moveaxis(hist, -2, 0)                 # (P, ..., rows)
                 dep = jnp.roll(dep, t - R_, axis=0)

@@ -226,6 +226,29 @@ def test_windowed_frames_1d_streaming_shape():
     np.testing.assert_allclose(got, want, atol=0)
 
 
+def test_scatter_passes_knob():
+    """scatter_passes wires through to the kernel: 1-pass stays within
+    its documented bf16 display-grade bound, 3-pass matches segment_sum
+    at f32 tightness."""
+    from emspec.config import Settings
+    from emspec.pipeline import Pipeline
+    from emspec.io import synth
+
+    base = dict(mode="enhanced", multires=False, fft_size=1024, hop=256,
+                raster_height=128, auto_gain=False)
+    x = synth.chirp(150.0, 6000.0, 0.1)
+    want, _, _ = Pipeline(Settings(scatter="segment_sum", **base)).process(x)
+    with _interp():
+        got1, _, _ = Pipeline(Settings(scatter="pallas", scatter_passes=1,
+                                       **base)).process(x)
+        got3, _, _ = Pipeline(Settings(scatter="pallas", scatter_passes=3,
+                                       **base)).process(x)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
+                               rtol=0, atol=6e-3)
+
+
 def test_pallas_scatter_short_signal():
     """Regression: the static shift-add crashed at trace time for
     2 <= t_count <= R-1 (slice-bound mismatch on short signals)."""
