@@ -148,4 +148,20 @@ def validate_kernels(quick: bool = False) -> dict:
         validate_windowing(((16, 2048),) if quick else ((90, 2048), (32768,)))
         validate_fft4((8192,) if quick else (8192, 32768))
         validate_deposits(8192 if quick else 32768)
+        validate_lut()
     return {"backend": jax.default_backend(), "kernels_validated": True}
+
+
+def validate_lut() -> None:
+    """The one-hot MXU LUT must be bit-equal to the gather."""
+    import jax
+    import jax.numpy as jnp
+    from emspec.dsp.pallas.lut import lut_lookup
+    from emspec.post.colormap import lut
+
+    rng = np.random.default_rng(11)
+    idx = jnp.asarray(rng.integers(0, 256, (640, 512)).astype(np.int32))
+    table = jnp.asarray(lut("inferno"))
+    got = np.asarray(jax.jit(lambda i: lut_lookup(i, table))(idx))
+    want = np.asarray(table)[np.asarray(idx)]
+    np.testing.assert_array_equal(got, want)

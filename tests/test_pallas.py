@@ -113,6 +113,26 @@ def test_pipeline_stream_scatter_backends_agree():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+# ---------------------------------------------------------------- LUT
+def test_lut_matmul_bit_equal_to_gather():
+    """The one-hot MXU LUT must equal table[idx] bit-for-bit (uint8
+    entries are bf16-exact; single nonzero per one-hot column) — this is
+    what keeps streaming ≡ batch RGBA byte-equal while only the batch
+    path uses the kernel."""
+    from emspec.dsp.pallas.lut import lut_lookup
+    from emspec.post.colormap import lut
+
+    rng = np.random.default_rng(14)
+    for shape in ((1437, 128), (7, 333), (100,)):
+        idx = jnp.asarray(rng.integers(0, 256, shape).astype(np.int32))
+        for cmap in ("inferno", "turbo"):
+            table = jnp.asarray(lut(cmap))
+            with _interp():
+                got = np.asarray(lut_lookup(idx, table))
+            want = np.asarray(table)[np.asarray(idx)]
+            np.testing.assert_array_equal(got, want)
+
+
 # ------------------------------------------------------- fused fourstep
 @pytest.mark.parametrize("n", [8192, 32768])
 def test_fft4_kernel_matches_xla_fourstep_and_fft(n):
