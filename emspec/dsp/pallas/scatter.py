@@ -53,28 +53,40 @@ def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_hi: int, passes: int,
     for ``row_block`` batch rows (unrolled — fewer grid steps amortize
     per-step overhead, measured −17% at the stress shape with 4 rows).
 
-    A[h, m] = v_m·[hi_m == h] and O[m, l] = [lo_m == l] are built on the
-    VPU in VMEM; their (S_hi, 128) product on the MXU is this chunk's
-    histogram contribution, accumulated in place across the m grid dim."""
+    A[h, m] = v_m·[hi_m == h] and Oᵀ[l, m] = [lo_m == l] are built on the
+    VPU in VMEM; their lanes-against-lanes contraction on the MXU is this
+    chunk's histogram, accumulated in place across the m grid dim.
+
+    Both one-hots keep m on the LANE axis — the deposits' native layout.
+    The first version of this kernel built O as (MC, 128), which needs
+    the (1, MC) lo digits relaid out lane→sublane (``lo.reshape(mc, 1)``
+    + minor-dim broadcast): measured 1.8× the whole kernel at the stress
+    shape.  A ``dot_general`` contracting dim 1 of both operands keeps
+    every build a sublane-broadcast + compare and lets the MXU handle
+    the orientation."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
 
+    mc = ids_ref.shape[-1]
+    # loop-invariant row-index grids (CSE would catch these, but hoisting
+    # makes the reuse explicit)
+    lrows = jax.lax.broadcasted_iota(jnp.int32, (_LO, mc), 0)
+    hrows = jax.lax.broadcasted_iota(jnp.int32, (s_hi, mc), 0)
+
     for g in range(row_block):
         ids = ids_ref[g]                              # (1, MC) int32
         vals = vals_ref[g]                            # (1, MC) f32
-        mc = ids.shape[-1]
         hi = jnp.right_shift(ids, 7)                  # floor(id/128); -1 → -1
         lo = jnp.bitwise_and(ids, _LO - 1)
-        # O: (MC, 128) — lo-digit one-hot; 0/1 is exactly representable in
+        # Oᵀ: (128, MC) — lo-digit one-hot; 0/1 is exactly representable in
         # bf16, so the MXU's native input type costs no accuracy here.
         # Select in f32 first: Mosaic can't relayout the (8,128)-tiled i1
         # mask of an int32 compare straight into 16-bit (16,128) tiling.
-        lcols = jax.lax.broadcasted_iota(jnp.int32, (mc, _LO), 1)
-        O = (jnp.broadcast_to(lo.reshape(mc, 1), (mc, _LO)) == lcols
-             ).astype(jnp.float32).astype(jnp.bfloat16)
+        Ot = (jnp.broadcast_to(lo, (_LO, mc)) == lrows
+              ).astype(jnp.float32).astype(jnp.bfloat16)
         # A: (S_hi, MC) — vals routed to their hi-digit row (invalid ids
         # have hi outside [0, S_hi) and land nowhere).  The MXU multiplies
         # in bf16; a plain f32 dot would silently truncate vals to 8
@@ -84,8 +96,7 @@ def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_hi: int, passes: int,
         # the error at ~2^-8·passes relative (all contributions are
         # non-negative powers, so bin sums can't cancel): 2 passes ⇒
         # ≤ 2^-16 ≈ 1.5e-5, 3 ⇒ f32-exact.
-        hmatch = (jax.lax.broadcasted_iota(jnp.int32, (s_hi, mc), 0)
-                  == jnp.broadcast_to(hi, (s_hi, mc)))
+        hmatch = hrows == jnp.broadcast_to(hi, (s_hi, mc))
         acc = out_ref[g]
         resid = vals
         for _ in range(passes):
@@ -93,7 +104,9 @@ def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_hi: int, passes: int,
             resid = resid - v
             A = jnp.where(hmatch, jnp.broadcast_to(v, (s_hi, mc)), 0.0
                           ).astype(jnp.bfloat16)
-            acc = acc + jnp.dot(A, O, preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                A, Ot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         out_ref[g] = acc
 
 
