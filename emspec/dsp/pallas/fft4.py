@@ -82,6 +82,36 @@ def _fft4_frame_real(x_t, tables):
     return Xr, Xi
 
 
+def _fft4_frame_real_half(x_t, tables):
+    """One REAL frame's steps 1–3 computing only k2 ∈ [0, n2/2] — the
+    Hermitian-live half of the kept block plus the Nyquist-tile column.
+
+    For n2 ≥ 256 the full-range step 3 spends half its MXU passes on
+    k2 > n2/2 lane tiles whose bins are all Hermitian duplicates the
+    deposit quantizer masks anyway.  Slicing C2/S2 to (n2, n2/2) keeps
+    step 3 on exactly the output lane tiles that matter; the single
+    k2 = n2/2 edge column (Nyquist lives there) is one f32
+    multiply+lane-reduce on the otherwise-idle VPU — *more* accurate
+    than the 3-pass split it replaces.  → X[k1, k2] for k2 ≤ n2/2,
+    shape (n1, n2/2 + 1)."""
+    (C1h, C1l, S1h, S1l, TWr, TWi,
+     C2h, C2l, S2h, S2l, c2e, s2e) = tables
+    xh, xl = _split(x_t)
+    Ar = _d3(C1h, C1l, xh, xl)
+    Ai = -_d3(S1h, S1l, xh, xl)
+    Br = Ar * TWr + Ai * TWi
+    Bi = Ai * TWr - Ar * TWi
+    Brh, Brl = _split(Br)
+    Bih, Bil = _split(Bi)
+    Xr = _d3(Brh, Brl, C2h, C2l) + _d3(Bih, Bil, S2h, S2l)
+    Xi = _d3(Bih, Bil, C2h, C2l) - _d3(Brh, Brl, S2h, S2l)
+    # edge column k2 = n2/2: X[:, e] = Σ_j B[:, j]·(C2 − i·S2)[j, e]
+    xr_e = jnp.sum(Br * c2e + Bi * s2e, axis=1, keepdims=True)
+    xi_e = jnp.sum(Bi * c2e - Br * s2e, axis=1, keepdims=True)
+    return (jnp.concatenate([Xr, xr_e], 1),
+            jnp.concatenate([Xi, xi_e], 1))
+
+
 def _fft4_kernel(zr_ref, zi_ref, c1h_ref, c1l_ref, s1h_ref, s1l_ref,
                  twr_ref, twi_ref, c2h_ref, c2l_ref, s2h_ref, s2l_ref,
                  xr_ref, xi_ref, *, t_tile: int):
@@ -178,12 +208,35 @@ def _host_tables(n: int):
             c2h, c2l, s2h, s2l)
 
 
-def _deposits_kernel(scal_ref, zr_ref, th_ref,
-                     c1h_ref, c1l_ref, s1h_ref, s1l_ref,
-                     twr_ref, twi_ref, c2h_ref, c2l_ref, s2h_ref, s2l_ref,
-                     row_ref, delta_ref, contrib_ref, *,
+def _host_tables_half(n: int):
+    """Tables for the half-spectrum deposit path (n2 ≥ 256): step-3
+    cos/sin sliced to k2 < n2/2 (the only live output lane tiles) plus
+    the k2 = n2/2 edge column as f32 rows for the VPU dot."""
+    from emspec.dsp.fourstep import _tables
+
+    C1, S1, TWr, TWi, C2, S2 = _tables(n)
+    n2 = C2.shape[0]
+    n2h = n2 // 2
+
+    def pair(m):
+        hi = m.astype(np.float32).astype(jnp.bfloat16)
+        lo = (m.astype(np.float32)
+              - np.asarray(hi, np.float32)).astype(jnp.bfloat16)
+        return jnp.asarray(hi), jnp.asarray(lo)
+
+    c1h, c1l = pair(C1)
+    s1h, s1l = pair(S1)
+    c2h, c2l = pair(C2[:, :n2h])
+    s2h, s2l = pair(S2[:, :n2h])
+    c2e = jnp.asarray(C2[:, n2h].astype(np.float32).reshape(1, n2))
+    s2e = jnp.asarray(S2[:, n2h].astype(np.float32).reshape(1, n2))
+    return (c1h, c1l, s1h, s1l, jnp.asarray(TWr), jnp.asarray(TWi),
+            c2h, c2l, s2h, s2l, c2e, s2e)
+
+
+def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
                      t_tile: int, n1: int, n2: int, hop: int, sr: float,
-                     rows: int):
+                     rows: int, half: bool):
     """Per frame: the raw and t·h spectra via two real-input four-step
     chains, then — entirely in VMEM — the periodic-Hann stencils, the
     Auger–Flandrin corrections, and the display-grid quantization.
@@ -200,9 +253,9 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref,
     """
     n = n1 * n2
     k2_keep = n2 // 2 + 1
-    tables = (c1h_ref[:], c1l_ref[:], s1h_ref[:], s1l_ref[:],
-              twr_ref[:], twi_ref[:], c2h_ref[:], c2l_ref[:],
-              s2h_ref[:], s2l_ref[:])
+    n_tables = 12 if half else 10
+    tables = tuple(r[:] for r in refs[:n_tables])
+    row_ref, delta_ref, contrib_ref = refs[n_tables:]
     logmap_a = scal_ref[0]
     logmap_b = scal_ref[1]
     power_floor = scal_ref[2]
@@ -225,17 +278,52 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref,
         # MXU dots vs the packed transform, buys back the whole
         # unpack+stencil+corrections HBM round-trip.
         fr = zr_ref[t]
-        Ar, Ai = _fft4_frame_real(fr, tables)                # raw spectrum
-        Br, Bi = _fft4_frame_real(fr * th_ref[:], tables)    # t·h spectrum
-        # neighbors A((k∓1) mod N) — shifts along k1 with a k2 carry row
-        def prev_k(M):
-            wrap = jnp.concatenate([M[-1:, -1:], M[-1:, :-1]], 1)
-            return jnp.concatenate([wrap, M[:-1, :]], 0)
-        def next_k(M):
-            wrap = jnp.concatenate([M[:1, 1:], M[:1, :1]], 1)
-            return jnp.concatenate([M[1:, :], wrap], 0)
-        Am1r, Am1i = prev_k(Ar), prev_k(Ai)
-        Ap1r, Ap1i = next_k(Ar), next_k(Ai)
+        if half:
+            # half-spectrum chains: k2 ∈ [0, n2/2] only (n1, k2_keep)
+            Ar, Ai = _fft4_frame_real_half(fr, tables)
+            Br, Bi = _fft4_frame_real_half(fr * th_ref[:], tables)
+            # neighbors A((k∓1) mod N) on the half block: interior
+            # shifts are identical to the full-range case; the two
+            # seam elements that used to be literal reads from the
+            # discarded half come from Hermitian conjugation instead —
+            # A(N−1) = conj(A(1)) for the k = 0 predecessor, and
+            # A(n1·n2/2 + n1) = conj(A(N − that)) for the successor of
+            # the (k1 = n1−1, k2 = n2/2) corner (a masked duplicate
+            # bin; kept finite and faithful).  Same tolerance class as
+            # the engine's own table rounding (see docstring).
+            # (Mosaic rejects concats of slices taken from different
+            # sublane offsets, so each wrap row is a same-row roll with
+            # the seam element patched in via scalar extract + lane mask.)
+            k2w = Ar.shape[1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, k2w), 1)
+            def prev_k_pair(Mr, Mi):
+                rr = jnp.concatenate([Mr[-1:, -1:], Mr[-1:, :-1]], 1)
+                ri = jnp.concatenate([Mi[-1:, -1:], Mi[-1:, :-1]], 1)
+                wr = jnp.where(lane == 0, Mr[1, 0], rr)
+                wi = jnp.where(lane == 0, -Mi[1, 0], ri)
+                return (jnp.concatenate([wr, Mr[:-1, :]], 0),
+                        jnp.concatenate([wi, Mi[:-1, :]], 0))
+            def next_k_pair(Mr, Mi):
+                rr = jnp.concatenate([Mr[:1, 1:], Mr[:1, :1]], 1)
+                ri = jnp.concatenate([Mi[:1, 1:], Mi[:1, :1]], 1)
+                wr = jnp.where(lane == k2w - 1, Mr[0, k2w - 2], rr)
+                wi = jnp.where(lane == k2w - 1, -Mi[0, k2w - 2], ri)
+                return (jnp.concatenate([Mr[1:, :], wr], 0),
+                        jnp.concatenate([Mi[1:, :], wi], 0))
+            Am1r, Am1i = prev_k_pair(Ar, Ai)
+            Ap1r, Ap1i = next_k_pair(Ar, Ai)
+        else:
+            Ar, Ai = _fft4_frame_real(fr, tables)             # raw spectrum
+            Br, Bi = _fft4_frame_real(fr * th_ref[:], tables)  # t·h spectrum
+            # neighbors A((k∓1) mod N) — shifts along k1 with a k2 carry row
+            def prev_k(M):
+                wrap = jnp.concatenate([M[-1:, -1:], M[-1:, :-1]], 1)
+                return jnp.concatenate([wrap, M[:-1, :]], 0)
+            def next_k(M):
+                wrap = jnp.concatenate([M[:1, 1:], M[:1, :1]], 1)
+                return jnp.concatenate([M[1:, :], wrap], 0)
+            Am1r, Am1i = prev_k(Ar), prev_k(Ai)
+            Ap1r, Ap1i = next_k(Ar), next_k(Ai)
         # periodic-Hann stencils (DESIGN.md §3)
         Xhr = 0.5 * Ar - 0.25 * (Am1r + Ap1r)
         Xhi = 0.5 * Ai - 0.25 * (Am1i + Ap1i)
@@ -302,7 +390,11 @@ def fft4_deposits(frames: jnp.ndarray,
     th = jnp.asarray(time_weighted_hann(n, np.float32)).reshape(n1, n2)
     scal = jnp.stack([jnp.float32(logmap_a), jnp.float32(logmap_b),
                       jnp.float32(power_floor)])
-    tables = _host_tables(n)
+    # half-spectrum step 3 saves a full output lane tile only when the
+    # discarded k2 > n2/2 half spans whole 128-lane tiles
+    half = n2 >= 256
+    n2h = n2 // 2
+    tables = _host_tables_half(n) if half else _host_tables(n)
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                        memory_space=pltpu.VMEM)
@@ -310,20 +402,23 @@ def fft4_deposits(frames: jnp.ndarray,
                             memory_space=pltpu.VMEM)
     frame_out = pl.BlockSpec((tt, n1, k2_keep), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    step3_specs = ([const((n2, n2h)), const((n2, n2h)),
+                    const((n2, n2h)), const((n2, n2h)),
+                    const((1, n2)), const((1, n2))] if half else
+                   [const((n2, n2)), const((n2, n2)),
+                    const((n2, n2)), const((n2, n2))])
     vmem_limit = (8 * tt * n1 * n2 * 4
                   + 2 * (n1 * n1 * 2 * 2 + n2 * n2 * 2 * 2) + 2 * n1 * n2 * 4
                   + 40 * n1 * n2 * 4 + (4 << 20))
     row, delta, contrib = pl.pallas_call(
         functools.partial(_deposits_kernel, t_tile=tt, n1=n1, n2=n2,
-                          hop=hop, sr=sr, rows=rows),
+                          hop=hop, sr=sr, rows=rows, half=half),
         grid=(b_pad // tt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   frame_in, const((n1, n2)),
                   const((n1, n1)), const((n1, n1)),
                   const((n1, n1)), const((n1, n1)),
-                  const((n1, n2)), const((n1, n2)),
-                  const((n2, n2)), const((n2, n2)),
-                  const((n2, n2)), const((n2, n2))],
+                  const((n1, n2)), const((n1, n2))] + step3_specs,
         out_specs=[frame_out, frame_out, frame_out],
         out_shape=[jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.int32),
                    jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.int32),

@@ -170,19 +170,24 @@ def test_fft4_streaming_single_frame_shape():
     assert float(jnp.abs(got_i - want_i).max()) / scale < 2e-5
 
 
-def test_fft4_deposits_matches_unfused_path():
+@pytest.mark.parametrize("n,hop,B", [
+    (8192, 2048, 4),      # full-spectrum path (n2 = 128)
+    (32768, 8192, 2),     # half-spectrum step-3 path (n2 = 256)
+])
+def test_fft4_deposits_matches_unfused_path(n, hop, B):
     """The fused FFT→deposits kernel must reproduce the unfused
     stencil+corrections+quantize chain: deposits are order-permuted, so
     compare as histograms — total energy ≤1e-3 rel and 3×3 max-filter
     agreement (the DESIGN.md §9 quantized-scatter methodology; low-bit
-    engine differences can move a deposit one cell)."""
+    engine differences can move a deposit one cell).  The 32768 case
+    exercises the half-spectrum step 3 (sliced tables + VPU Nyquist
+    edge + conj-wrap stencil seams)."""
     from emspec.dsp.pallas.fft4 import fft4_deposits
     from emspec.dsp.reassign import reassignment_corrections
     from emspec.dsp.stft import stft_triple_stencil
 
     rng = np.random.default_rng(13)
-    n, hop, rows, sr = 8192, 2048, 128, 48000.0
-    B = 4
+    rows, sr = 128, 48000.0
     frames = jnp.asarray(
         (0.2 * rng.standard_normal((B, n))
          + np.sin(2 * np.pi * 440.0 / sr * np.arange(n))[None]

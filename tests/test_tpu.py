@@ -36,6 +36,18 @@ def test_fft4_mosaic_compile_parity():
     validate_fft4()
 
 
+def test_fft4_deposits_mosaic_compile_parity_both_paths():
+    """The fused analysis kernel through real Mosaic at BOTH production
+    sizes: 8192 exercises the full-spectrum step 3, 32768 the
+    half-spectrum path (sliced tables + VPU Nyquist edge + conj-wrap
+    seams).  Regression: the half path once compiled in the interpreter
+    but hit a Mosaic concat-offset limitation on the chip — interpret-
+    mode green does not imply Mosaic green."""
+    from emspec.dsp.pallas.validate import validate_deposits
+    validate_deposits(8192)
+    validate_deposits(32768)
+
+
 def test_pipeline_scatter_backends_agree_on_tpu():
     """End-to-end 8192-pt enhanced: Mosaic pallas scatter vs segment_sum
     on the actual chip (the auto path the primary metric uses)."""
