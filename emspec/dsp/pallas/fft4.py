@@ -236,7 +236,7 @@ def _host_tables_half(n: int):
 
 def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
                      t_tile: int, n1: int, n2: int, hop: int, sr: float,
-                     rows: int, half: bool):
+                     rows: int, half: bool, reach: int | None):
     """Per frame: the raw and t·h spectra via two real-input four-step
     chains, then — entirely in VMEM — the periodic-Hann stencils, the
     Auger–Flandrin corrections, and the display-grid quantization.
@@ -255,7 +255,10 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
     k2_keep = n2 // 2 + 1
     n_tables = 12 if half else 10
     tables = tuple(r[:] for r in refs[:n_tables])
-    row_ref, delta_ref, contrib_ref = refs[n_tables:]
+    if reach is None:
+        row_ref, delta_ref, contrib_ref = refs[n_tables:]
+    else:
+        ids_ref, contrib_ref = refs[n_tables:]
     logmap_a = scal_ref[0]
     logmap_b = scal_ref[1]
     power_floor = scal_ref[2]
@@ -352,17 +355,26 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
                  & (f_hat > 0)
                  & (jnp.abs(dt) <= jnp.float32(n))
                  & k_valid)
-        row_ref[t] = jnp.clip(row, 0, rows - 1)
-        delta_ref[t] = delta
+        row_c = jnp.clip(row, 0, rows - 1)
+        if reach is None:
+            row_ref[t] = row_c
+            delta_ref[t] = delta
+        else:
+            # fused id packing for the relative-histogram scatter:
+            # id = (δ + R)·rows + row — saves the XLA glue pass over
+            # every deposit (and one of the scatter's two input reads).
+            # Out-of-range δ lands outside [0, P·rows) and the scatter
+            # drops it, same as the unfused contract.
+            ids_ref[t] = (delta + jnp.int32(reach)) * jnp.int32(rows) + row_c
         contrib_ref[t] = jnp.where(valid, power * jnp.float32(1.0 / (float(n) * float(n))), 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "hop", "sr", "rows",
-                                             "t_tile"))
+                                             "t_tile", "reach"))
 def fft4_deposits(frames: jnp.ndarray,
                   logmap_a, logmap_b, power_floor, *,
                   n: int, hop: int, sr: float, rows: int,
-                  t_tile: int = 8):
+                  t_tile: int = 8, reach: int | None = None):
     """Fused single-bank enhanced analysis: frames → (row, delta, contrib).
 
     frames: (B, n) float32 — the t·h windowing happens in VMEM from a
@@ -371,6 +383,12 @@ def fft4_deposits(frames: jnp.ndarray,
     permutation of the bins that the histogram scatter is invariant to.
     Deposits at k > N/2 (the n1−1 Hermitian duplicates in the kept
     block) carry zero contribution.
+
+    With ``reach`` set, the id packing for the relative-histogram
+    scatter fuses into the kernel epilogue and the return is
+    ``(ids, contrib)`` with ``ids = (δ + reach)·rows + row`` — the
+    histogram_matmul input, with no XLA pass over the deposits between
+    the two kernels.
 
     Matches pipeline._deposits' unfused quantization contract; the
     fourstep domain's tolerance rules apply (DESIGN.md §5, ulp-level on
@@ -410,19 +428,21 @@ def fft4_deposits(frames: jnp.ndarray,
     vmem_limit = (8 * tt * n1 * n2 * 4
                   + 2 * (n1 * n1 * 2 * 2 + n2 * n2 * 2 * 2) + 2 * n1 * n2 * 4
                   + 40 * n1 * n2 * 4 + (4 << 20))
-    row, delta, contrib = pl.pallas_call(
+    n_out = 2 if reach is not None else 3
+    outs = pl.pallas_call(
         functools.partial(_deposits_kernel, t_tile=tt, n1=n1, n2=n2,
-                          hop=hop, sr=sr, rows=rows, half=half),
+                          hop=hop, sr=sr, rows=rows, half=half,
+                          reach=reach),
         grid=(b_pad // tt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   frame_in, const((n1, n2)),
                   const((n1, n1)), const((n1, n1)),
                   const((n1, n1)), const((n1, n1)),
                   const((n1, n2)), const((n1, n2))] + step3_specs,
-        out_specs=[frame_out, frame_out, frame_out],
-        out_shape=[jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.int32),
-                   jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.int32),
-                   jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.float32)],
+        out_specs=[frame_out] * n_out,
+        out_shape=([jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.int32)]
+                   * (n_out - 1)
+                   + [jax.ShapeDtypeStruct((b_pad, n1, k2_keep), jnp.float32)]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit,
         ),
@@ -433,5 +453,4 @@ def fft4_deposits(frames: jnp.ndarray,
         ),
     )(scal, zr, th, *tables)
     flat = (b_pad, n1 * k2_keep)
-    return (row.reshape(flat)[:b], delta.reshape(flat)[:b],
-            contrib.reshape(flat)[:b])
+    return tuple(o.reshape(flat)[:b] for o in outs)

@@ -341,11 +341,35 @@ class Pipeline:
             [a.reshape(a.shape[:-1] + (-1,)) for a in parts], axis=-1)
         return cat(rows_l), cat(delta_l), cat(contrib_l)
 
+    def _deposit_ids_rel(self, frames_list, p: PipelineParams):
+        """Deposits as relative-histogram inputs ``(ids_rel, contrib)``
+        with ``ids_rel = (δ + R)·rows + row``.  On the fused single-bank
+        TPU path the packing happens in the analysis kernel's epilogue
+        (no XLA pass over the deposits); otherwise it's one elementwise
+        map over the unfused triple."""
+        R = self.reach
+        n = self.sizes[0]
+        if len(self.sizes) == 1 and self._use_fused_deposits(n):
+            from emspec.dsp.pallas.fft4 import fft4_deposits
+            frames = frames_list[0]
+            lead = frames.shape[:-1]
+            ids, contrib = fft4_deposits(
+                frames.reshape(-1, n), p.logmap_a, p.logmap_b,
+                p.power_floor, n=n, hop=self.hop,
+                sr=float(self.settings.sample_rate), rows=self.rows,
+                reach=R)
+            return (ids.reshape(lead + (-1,)),
+                    contrib.reshape(lead + (-1,)))
+        rows_i, delta, contrib = self._deposits(frames_list, p)
+        return (delta + R) * self.rows + rows_i, contrib
+
     def _enhanced_power(self, x, t_count, p: PipelineParams):
         """Reassigned 2-D histogram directly on the (t, rows) display grid."""
-        rows_i, delta, contrib = self._deposits(self._bank_frames(x, t_count), p)
+        frames_list = self._bank_frames(x, t_count)
         if self.use_pallas_scatter:
-            return self._scatter_pallas(rows_i, delta, contrib, t_count)
+            ids_rel, contrib = self._deposit_ids_rel(frames_list, p)
+            return self._scatter_pallas(ids_rel, contrib, t_count)
+        rows_i, delta, contrib = self._deposits(frames_list, p)
         return self._scatter_segment_sum(rows_i, delta, contrib, t_count, x.shape[:-1])
 
     def _scatter_segment_sum(self, rows_i, delta, contrib, t_count, lead):
@@ -364,17 +388,17 @@ class Pipeline:
         out = histogram_reference(flat_ids, flat_vals, t_count * self.rows)
         return out.reshape(lead + (t_count, self.rows))
 
-    def _scatter_pallas(self, rows_i, delta, contrib, t_count):
+    def _scatter_pallas(self, ids_rel, contrib, t_count):
         """TPU fast path: per-frame *relative* histograms on the MXU
         (one-hot matmul kernel, emspec.dsp.pallas.scatter) + a static
         shift-add over the 2R+1 possible column offsets.  No
-        data-dependent scatter remains anywhere in the hot path."""
+        data-dependent scatter remains anywhere in the hot path.
+        ids_rel/contrib come from ``_deposit_ids_rel`` (out-of-range ids
+        fall outside [0, P·rows) and contribute nothing)."""
         from emspec.dsp.pallas.scatter import histogram_matmul
 
         R = self.reach
         P = 2 * R + 1
-        # out-of-range ids fall outside [0, P*rows) and contribute nothing
-        ids_rel = (delta + R) * self.rows + rows_i
         hist = histogram_matmul(ids_rel, contrib, P * self.rows,
                                     passes=self.settings.scatter_passes)
         hist = hist.reshape(hist.shape[:-1] + (P, self.rows))  # (..., t, P, rows)
@@ -437,21 +461,27 @@ class Pipeline:
         lead = window.shape[:-1]
 
         if self.settings.mode == MODE_ENHANCED:
-            rows_i, delta, contrib = self._deposits(self._bank_windows(window), p)
-            R_ = R
-            contrib = jnp.where(t + delta >= 0, contrib, 0.0)
             if self.use_pallas_scatter:
                 # relative histogram, then rotate into the pending ring:
                 # acc slot of offset δ is (t+δ) mod P = roll by (t−R) mod P
                 from emspec.dsp.pallas.scatter import histogram_matmul
-                ids_rel = (delta + R_) * self.rows + rows_i
+                ids_rel, contrib = self._deposit_ids_rel(
+                    self._bank_windows(window), p)
+                # negative absolute columns can't land: t + δ ≥ 0 ⟺
+                # ids_rel ≥ (R − t)·rows (row < rows makes these exactly
+                # equivalent — same mask as the unfused t + delta >= 0)
+                contrib = jnp.where(ids_rel >= (R - t) * self.rows,
+                                    contrib, 0.0)
                 hist = histogram_matmul(ids_rel, contrib, P * self.rows,
                                     passes=self.settings.scatter_passes)
                 hist = hist.reshape(hist.shape[:-1] + (P, self.rows))
                 dep = jnp.moveaxis(hist, -2, 0)                 # (P, ..., rows)
-                dep = jnp.roll(dep, t - R_, axis=0)
+                dep = jnp.roll(dep, t - R, axis=0)
             else:
                 from emspec.dsp.pallas.scatter import histogram_reference
+                rows_i, delta, contrib = self._deposits(
+                    self._bank_windows(window), p)
+                contrib = jnp.where(t + delta >= 0, contrib, 0.0)
                 slot = jnp.mod(t + delta, P)
                 ids = slot * self.rows + rows_i
                 dep = histogram_reference(ids, contrib, P * self.rows)
