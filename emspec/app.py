@@ -128,3 +128,30 @@ class EmSpecApp:
         freqs = log_freq_axis(s.raster_height, s.freq_min, s.freq_max,
                               s.freq_scale)
         return describe_frequency(float(freqs[row]))
+
+    def axis_ticks(self) -> list:
+        """Frequency-ruler ticks for the display's log axis at the
+        CURRENT zoom (Freq Scale is continuous — recomputed per call,
+        never cached against the pipeline).  Returns
+        ``[{"frac": 0..1 bottom→top, "label": "1 kHz"}, …]`` at round
+        frequency landmarks that fall inside the visible axis."""
+        from emspec.dsp.multires import log_freq_axis
+        s = self.settings
+        freqs = log_freq_axis(s.raster_height, s.freq_min, s.freq_max,
+                              s.freq_scale)
+        f0, f1 = float(freqs[0]), float(freqs[-1])
+        lo, hi = (f0, f1) if f1 > f0 else (f1, f0)
+        ticks = []
+        for f in (20, 30, 50, 100, 200, 300, 500, 1_000, 2_000, 3_000,
+                  5_000, 10_000, 20_000, 40_000, 80_000):
+            if not (lo <= f <= hi):
+                continue
+            frac = (np.log2(f) - np.log2(f0)) / (np.log2(f1) - np.log2(f0))
+            if not (0.0 <= frac <= 1.0):
+                continue
+            label = (f"{f // 1000} kHz" if f >= 1000 else f"{f} Hz")
+            ticks.append({"frac": round(float(frac), 5), "label": label})
+        # thin to ≤ 9 ticks so labels never collide at narrow zooms
+        while len(ticks) > 9:
+            ticks = ticks[::2]
+        return ticks

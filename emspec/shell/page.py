@@ -34,6 +34,12 @@ PAGE = r"""<!DOCTYPE html>
   button.on { background:#5a3dbd; border-color:#7a5de0; }
   #tip { position:absolute; pointer-events:none; background:#000c;
          padding:3px 7px; border-radius:4px; font-size:12px; display:none; }
+  #axis { position:absolute; inset:0; pointer-events:none; }
+  .tick { position:absolute; left:0; width:100%; height:0;
+          border-top:1px solid #ffffff22; }
+  .tick span { position:absolute; left:4px; top:-14px; color:#ffffff88;
+               font-size:10px; background:#0008; padding:0 3px;
+               border-radius:2px; }
   #status { margin-top:12px; color:#6a6; font-size:11px; min-height:14px; }
   #minimized { position:absolute; inset:0; background:#0d0d10f0;
                display:none; align-items:center; justify-content:center;
@@ -43,6 +49,7 @@ PAGE = r"""<!DOCTYPE html>
 <body>
 <div id="view">
   <canvas id="c"></canvas>
+  <div id="axis"></div>
   <div id="tip"></div>
   <div id="minimized">minimized (Max-for-Live) — restore in Ableton</div>
 </div>
@@ -153,7 +160,19 @@ async function setS(changes) {
   el("status").textContent = d.kind === "continuous"
     ? "continuous — no recompile"
     : d.kind === "structural" ? "structural — re-specialized" : "";
-  reflect();
+  reflect(); loadAxis();
+}
+
+async function loadAxis() {
+  // frequency ruler: server-computed ticks follow the live zoom
+  const ticks = await (await fetch("/api/axis")).json();
+  const ax = el("axis"); ax.innerHTML = "";
+  for (const t of ticks) {
+    const d = document.createElement("div");
+    d.className = "tick"; d.style.top = ((1 - t.frac) * 100) + "%";
+    d.innerHTML = "<span>" + t.label + "</span>";
+    ax.appendChild(d);
+  }
 }
 function toggle(f){ setS({[f]: !S[f]}); }
 
@@ -174,25 +193,46 @@ async function loadPresets() {
   sel.onchange = async () => {
     const r = await fetch("/api/preset/load?name="+
       encodeURIComponent(sel.value), {method:"POST"});
-    S = (await r.json()).settings; reflect();
+    S = (await r.json()).settings; reflect(); loadAxis();
   };
 }
 
 const canvas = el("c"), ctx2d = canvas.getContext("2d");
-async function frameLoop() {
+function drawFrame(h, w, bytes) {
+  if (canvas.width !== w) { canvas.width = w; canvas.height = h; }
+  ctx2d.putImageData(new ImageData(new Uint8ClampedArray(bytes), w, h), 0, 0);
+}
+async function streamLoop() {
+  // push stream (chunked HTTP): frames arrive as they are painted,
+  // no 66 ms polling cadence; auto-reconnects on drop
   try {
-    const r = await fetch("/api/frame");
-    const buf = await r.arrayBuffer();
-    const dv = new DataView(buf);
-    const h = dv.getUint32(0), w = dv.getUint32(4);
-    if (canvas.width !== w) { canvas.width = w; canvas.height = h; }
-    const img = new ImageData(new Uint8ClampedArray(buf, 8), w, h);
-    ctx2d.putImageData(img, 0, 0);
+    const r = await fetch("/api/stream");
+    const reader = r.body.getReader();
+    let buf = new Uint8Array(0);
+    while (true) {
+      const {done, value} = await reader.read();
+      if (done) break;
+      const nb = new Uint8Array(buf.length + value.length);
+      nb.set(buf); nb.set(value, buf.length); buf = nb;
+      while (buf.length >= 8) {
+        const dv = new DataView(buf.buffer, buf.byteOffset);
+        const h = dv.getUint32(0), w = dv.getUint32(4);
+        const need = 8 + h * w * 4;
+        if (buf.length < need) break;
+        drawFrame(h, w, buf.subarray(8, need));
+        buf = buf.subarray(need);
+      }
+    }
+  } catch (e) {}
+  setTimeout(streamLoop, 1000);
+}
+async function stateLoop() {
+  try {
     const st = await (await fetch("/api/state")).json();
     el("minimized").style.display = st.paused ? "flex" : "none";
     document.title = (S && S.on_top ? "📌 " : "") + "emspec";
   } catch (e) {}
-  setTimeout(frameLoop, 66);
+  setTimeout(stateLoop, 500);
 }
 
 canvas.addEventListener("mousemove", async (ev) => {
@@ -210,7 +250,7 @@ canvas.addEventListener("mousemove", async (ev) => {
   const meta = await (await fetch("/api/meta")).json();
   buildPanel(meta);
   S = await (await fetch("/api/settings")).json();
-  reflect(); loadPresets(); frameLoop();
+  reflect(); loadPresets(); loadAxis(); streamLoop(); stateLoop();
 })();
 </script>
 </body>

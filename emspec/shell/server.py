@@ -43,6 +43,10 @@ class ShellServer:
         self.app = EmSpecApp(settings, user_dir=user_dir)
         self.lock = threading.RLock()
         self._stop = threading.Event()
+        # frame push: the drain worker bumps the sequence whenever new
+        # columns landed; /api/stream connections wait on the condition
+        self._frame_seq = 0
+        self._frame_cv = threading.Condition()
         self._source_kind = source
         self._wav_path = wav_path
         self._capture = None
@@ -123,7 +127,11 @@ class ShellServer:
                 ch = self.app.settings.channels   # may change structurally
                 empty = (np.zeros((ch, 0), np.float32) if ch > 1
                          else np.zeros(0, np.float32))
-                self.app.push_audio(empty)
+                emitted = self.app.push_audio(empty)
+            if emitted:
+                with self._frame_cv:
+                    self._frame_seq += 1
+                    self._frame_cv.notify_all()
             time.sleep(1.0 / 60.0)
 
     # --------------------------------------------------------------- control
@@ -198,6 +206,42 @@ class ShellServer:
                     self._json({"paused": app.stream._paused,
                                 "on_top": app.settings.on_top,
                                 "dropped_frames": app.stream.dropped_frames})
+                elif url.path == "/api/axis":
+                    with shell.lock:
+                        self._json(app.axis_ticks())
+                elif url.path == "/api/stream":
+                    # chunked binary frame push (stdlib analog of a
+                    # WebSocket): length-implicit (h, w)-prefixed RGBA
+                    # frames until the client disconnects.  Cuts the
+                    # display path from 66 ms polling to push-on-column
+                    # (throttled to ~30 fps).
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Cache-Control", "no-store")
+                    self.send_header("Connection", "close")
+                    self.end_headers()
+                    last = -1
+                    while not shell._stop.is_set():
+                        with shell._frame_cv:
+                            if shell._frame_seq == last:
+                                shell._frame_cv.wait(timeout=0.25)
+                            seq = shell._frame_seq
+                        if seq == last:
+                            continue        # idle wakeup, nothing new
+                        last = seq
+                        with shell.lock:
+                            img = app.image()
+                        body = (struct.pack(">II", img.shape[0],
+                                            img.shape[1])
+                                + np.ascontiguousarray(img).tobytes())
+                        try:
+                            self.wfile.write(body)
+                            self.wfile.flush()
+                        except (BrokenPipeError, ConnectionResetError,
+                                ConnectionAbortedError):
+                            break
+                        time.sleep(1.0 / 30.0)
                 elif url.path == "/api/hover":
                     frac = float(q.get("frac", ["0"])[0])
                     rows = app.settings.raster_height

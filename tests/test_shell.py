@@ -126,6 +126,59 @@ def test_multichannel_shell_channel_switch(tmp_path):
         srv.stop()
 
 
+def test_axis_ticks_follow_zoom(shell):
+    """The frequency-ruler endpoint returns landmark ticks inside the
+    visible axis, and the tick set moves when Freq Scale (a continuous
+    slider) changes — the ruler is computed per request, never cached
+    against the pipeline."""
+    ticks = json.loads(_get(shell, "/api/axis"))
+    assert ticks and all(0.0 <= t["frac"] <= 1.0 for t in ticks)
+    labels = [t["label"] for t in ticks]
+    assert any("kHz" in l for l in labels)
+    fracs = {t["label"]: t["frac"] for t in ticks}
+    _post(shell, "/api/settings", {"freq_scale": 3.0})
+    try:
+        zoomed = {t["label"]: t["frac"]
+                  for t in json.loads(_get(shell, "/api/axis"))}
+        moved = [l for l in fracs if l in zoomed
+                 and abs(zoomed[l] - fracs[l]) > 1e-3]
+        assert moved or set(zoomed) != set(fracs)
+    finally:
+        _post(shell, "/api/settings", {"freq_scale": 1.0})
+
+
+def test_stream_pushes_frames(shell):
+    """/api/stream delivers length-implicit (h, w)-prefixed RGBA frames
+    as columns land (the page's push path; polling is the fallback)."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", shell.port, timeout=10)
+    conn.request("GET", "/api/stream")
+    r = conn.getresponse()
+    try:
+        frames = 0
+        deadline = time.perf_counter() + 8.0
+        buf = b""
+        while frames < 2 and time.perf_counter() < deadline:
+            chunk = r.read1(65536)
+            if not chunk:
+                time.sleep(0.02)
+                continue
+            buf += chunk
+            while len(buf) >= 8:
+                h = int.from_bytes(buf[:4], "big")
+                w = int.from_bytes(buf[4:8], "big")
+                need = 8 + h * w * 4
+                if len(buf) < need:
+                    break
+                assert (h, w) == (128, 256)
+                buf = buf[need:]
+                frames += 1
+        assert frames >= 2
+    finally:
+        conn.close()
+
+
 def test_m4l_minimize_restore_pauses_shell(shell, tmp_path):
     """Ableton writes live_state.json; the shell's stream pauses (the
     page shows the minimized overlay via /api/state)."""
