@@ -37,10 +37,12 @@ def stage_breakdown(settings: Settings, seconds: float = 4.0,
     xd = jax.device_put(x)
 
     def upto_frames(x):
-        return tuple(pipe._bank_frames(x, t_count))
+        # production path inputs; _Blocks banks surface their raw blocks
+        return tuple(getattr(f, "x2", f)
+                     for f in pipe._bank_inputs(x, t_count))
 
     def upto_deposits(x):
-        return pipe._deposits(pipe._bank_frames(x, t_count), p)
+        return pipe._deposits(pipe._bank_inputs(x, t_count), p)
 
     def upto_power(x):
         if settings.mode == MODE_ENHANCED:

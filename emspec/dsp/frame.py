@@ -25,6 +25,31 @@ def num_frames(num_samples: int, n: int, hop: int) -> int:
     return (num_samples - n) // hop + 1
 
 
+def signal_blocks(x: jnp.ndarray, n: int, hop: int) -> jnp.ndarray:
+    """(..., samples) → (..., rows, hop) hop-aligned blocks such that
+    frame ``t`` is rows ``t..t+m-1`` concatenated (m = ⌈n/hop⌉).
+
+    This is frame_signal's first half, exposed so consumers that can
+    fold the framing into their own contraction (the pruned-DFT block
+    GEMM, emspec.dsp.stft.stft_triple_stencil_blocks) never materialize
+    the (t, n) frames array at all — at hop ≪ n the m-way concat is
+    pure HBM shuffling (4·t·n bytes written and re-read; at the
+    multires 8192-bank shape that's ~94 MB/call of traffic the block
+    path never issues.  End-to-end through this environment's relay the
+    delta sits inside the per-call dispatch-floor noise — BENCH.md
+    round-2 note on same-session A/B)."""
+    t = num_frames(x.shape[-1], n, hop)
+    m = -(-n // hop)
+    rows = max(t + m - 1, 0)
+    need = rows * hop
+    pad = need - x.shape[-1]
+    if pad > 0:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    elif pad < 0:
+        x = x[..., :need]
+    return x.reshape(x.shape[:-1] + (rows, hop))
+
+
 def frame_signal(x: jnp.ndarray, n: int, hop: int) -> jnp.ndarray:
     """(..., samples) → (..., frames, n) overlapping frames (device, jit-safe).
 
@@ -39,14 +64,7 @@ def frame_signal(x: jnp.ndarray, n: int, hop: int) -> jnp.ndarray:
     if t <= 0:
         return jnp.zeros(x.shape[:-1] + (0, n), x.dtype)
     m = -(-n // hop)                                # frame length in blocks
-    rows = t + m - 1
-    need = rows * hop
-    pad = need - x.shape[-1]
-    if pad > 0:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    elif pad < 0:
-        x = x[..., :need]
-    x2 = x.reshape(x.shape[:-1] + (rows, hop))
+    x2 = signal_blocks(x, n, hop)
     blocks = [x2[..., j:j + t, :] for j in range(m)]   # each (..., t, hop)
     return jnp.concatenate(blocks, axis=-1)[..., :n]
 

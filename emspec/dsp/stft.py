@@ -122,6 +122,53 @@ def stft_triple_stencil_sliced(frames: jnp.ndarray, k_lo: int, k_hi: int
     return X_h, X_th, X_dh
 
 
+def stft_triple_stencil_blocks(x2: jnp.ndarray, t: int, n: int,
+                               k_lo: int, k_hi: int
+                               ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pruned-DFT reassignment spectra straight from hop blocks —
+    the (t, n) frames array is never materialized.
+
+    With x2 = signal_blocks(x, n, hop) of shape (..., rows, hop) and
+    m = ⌈n/hop⌉, frame t is rows t..t+m-1 concatenated, so
+
+        frames @ W  =  Σ_j  x2[..., j:j+t, :] @ W[j·hop:(j+1)·hop, :]
+
+    — m shifted-slice GEMMs accumulated in f32 instead of one framed
+    GEMM, with identical flops and no 4·t·n-byte HBM round trip (~94 MB
+    per call at the multires 8192-bank shape; the block sum reads the
+    compact x2 instead).  The t·h windowing FOLDS INTO the DFT matrix
+    (diag(th)·W), so both chains ride the same GEMMs: columns are
+    [cos | sin | th·cos | th·sin].
+
+    Same math as stft_triple_stencil_sliced; the m-partial f32
+    accumulation order differs from the single-GEMM K-loop, which sits
+    inside the pruned path's existing TPU tolerance contract (this path
+    is TPU-only — Pipeline._use_pruned_dft)."""
+    from emspec.dsp.windows import time_weighted_hann
+
+    hop = x2.shape[-1]
+    m = -(-n // hop)
+    lead = x2.shape[:-2]
+    ks = np.arange(k_lo - 1, k_hi + 1)
+    ang = (-2.0 * np.pi / n) * np.outer(np.arange(n), ks)      # float64
+    w = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)     # (n, 2(K+2))
+    th = np.asarray(time_weighted_hann(n, np.float64))
+    w4 = np.concatenate([w, th[:, None] * w], axis=1)          # (n, 4(K+2))
+    if m * hop != n:                                           # hop ∤ n tail
+        w4 = np.pad(w4, ((0, m * hop - n), (0, 0)))
+    wj = jnp.asarray(w4.reshape(m, hop, -1), jnp.float32)
+    acc = jnp.zeros(lead + (t, wj.shape[-1]), jnp.float32)
+    for j in range(m):
+        acc = acc + jnp.dot(x2[..., j:j + t, :], wj[j],
+                            precision=jax.lax.Precision.HIGH)
+    K2 = len(ks)
+    Xe = acc[..., :K2] + 1j * acc[..., K2:2 * K2]
+    X_th = (acc[..., 2 * K2:3 * K2] + 1j * acc[..., 3 * K2:])[..., 1:-1]
+    X_h = 0.5 * Xe[..., 1:-1] - 0.25 * (Xe[..., :-2] + Xe[..., 2:])
+    X_dh = (-0.5j * jnp.pi / n) * (Xe[..., :-2] - Xe[..., 2:])
+    return X_h, X_th, X_dh
+
+
 def stft_triple_stencil(frames: jnp.ndarray, fft_impl: str = "xla"
                         ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Stencil-method reassignment spectra from pre-cut frames (..., n) —

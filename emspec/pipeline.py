@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from emspec.config import MODE_ENHANCED, Settings
-from emspec.dsp.frame import frame_signal, num_frames
+from emspec.dsp.frame import frame_signal, num_frames, signal_blocks
 from emspec.dsp.multires import (
     MergeTables, band_support_hz, band_weight_at, bank_offsets,
     build_merge_tables, merge_columns,
@@ -62,6 +62,19 @@ class PipelineParams(NamedTuple):
     band_bins: tuple                 # (K_b,) float32 band weight per source bin
     power_floor: jnp.ndarray         # scalar: drop |X_h|^2 below this
                                      # (Settings.reassign_floor_db)
+
+
+class _Blocks:
+    """Marker for a bank whose pruned STFT consumes hop blocks directly
+    (emspec.dsp.stft.stft_triple_stencil_blocks) — the (t, n) frames
+    array is never materialized.  Lives only inside one trace: created
+    by Pipeline._bank_inputs, consumed by Pipeline._deposits."""
+    __slots__ = ("x2", "t", "n")
+
+    def __init__(self, x2, t: int, n: int):
+        self.x2 = x2
+        self.t = t
+        self.n = n
 
 
 def _row_map_consts(tables: MergeTables, rows: int):
@@ -236,6 +249,28 @@ class Pipeline:
             out.append(frame_signal(x[..., off:end], n, self.hop))
         return out
 
+    def _bank_inputs(self, x: jnp.ndarray, t_count: int):
+        """Per-bank analysis inputs for the BATCH enhanced path: banks
+        taking the pruned-DFT route get raw hop blocks (framing folds
+        into the block GEMM — the m-way frame concat measured 3.5 ms at
+        the multires 8192-bank shape, over half the call), everything
+        else gets materialized frames as before."""
+        out = []
+        for n, off, (k_lo, k_hi) in zip(self.sizes, self.offsets,
+                                        self.k_slices):
+            end = off + (t_count - 1) * self.hop + n
+            xb = x[..., off:end]
+            if (t_count > 0
+                    and self.settings.mode == MODE_ENHANCED
+                    and self.settings.fft_method == "stencil"
+                    and not self._use_fused_deposits(n)
+                    and self._use_pruned_dft(n, k_lo, k_hi)):
+                out.append(_Blocks(signal_blocks(xb, n, self.hop),
+                                   t_count, n))
+            else:
+                out.append(frame_signal(xb, n, self.hop))
+        return out
+
     def _bank_power(self, frames: jnp.ndarray, n: int) -> jnp.ndarray:
         """Hann |X|^2 of one bank's frames/window — the single definition
         both the batch and streaming natural paths share (so they cannot
@@ -267,7 +302,14 @@ class Pipeline:
         rows_l, delta_l, contrib_l = [], [], []
         for frames, n, bb, (k_lo, k_hi) in zip(
                 frames_list, self.sizes, p.band_bins, self.k_slices):
-            if self._use_fused_deposits(n):
+            if isinstance(frames, _Blocks):
+                # batch pruned bank: framing folded into the block GEMM
+                from emspec.dsp.stft import stft_triple_stencil_blocks
+                power, dt, dw = reassignment_corrections(
+                    *stft_triple_stencil_blocks(frames.x2, frames.t, n,
+                                                k_lo, k_hi))
+                X = None
+            elif self._use_fused_deposits(n):
                 # single-bank TPU fast path: FFT + unpack + stencil +
                 # corrections + quantize fused in one VMEM kernel
                 # (emspec.dsp.pallas.fft4.fft4_deposits); deposit order is
@@ -284,11 +326,14 @@ class Pipeline:
                 delta_l.append(delta.reshape(lead + (-1,)))
                 contrib_l.append(contrib.reshape(lead + (-1,)))
                 continue
-            if (self.settings.fft_method == "stencil"
+            if isinstance(frames, _Blocks):
+                pass                      # power/dt/dw computed above
+            elif (self.settings.fft_method == "stencil"
                     and self._use_pruned_dft(n, k_lo, k_hi)):
                 # band-sliced bank keeps K ≪ n/2 bins: the pruned DFT is
                 # one MXU GEMM straight to the kept bins — no full FFT,
-                # no slice (emspec.dsp.stft.stft_triple_stencil_sliced)
+                # no slice (emspec.dsp.stft.stft_triple_stencil_sliced);
+                # the batch path folds the framing in too (_Blocks above)
                 from emspec.dsp.stft import stft_triple_stencil_sliced
                 power, dt, dw = reassignment_corrections(
                     *stft_triple_stencil_sliced(frames, k_lo, k_hi))
@@ -365,7 +410,7 @@ class Pipeline:
 
     def _enhanced_power(self, x, t_count, p: PipelineParams):
         """Reassigned 2-D histogram directly on the (t, rows) display grid."""
-        frames_list = self._bank_frames(x, t_count)
+        frames_list = self._bank_inputs(x, t_count)
         if self.use_pallas_scatter:
             ids_rel, contrib = self._deposit_ids_rel(frames_list, p)
             return self._scatter_pallas(ids_rel, contrib, t_count)

@@ -100,6 +100,34 @@ def test_pruned_dft_matches_fft_slice(n, hop, k_lo, k_hi):
                                    err_msg=name)
 
 
+@pytest.mark.parametrize("n,hop,k_lo,k_hi", [
+    (8192, 128, 0, 43),       # multires low bank at the default 128 hop
+    (2048, 128, 6, 104),      # mid bank
+    (2048, 384, 6, 104),      # hop ∤ n: exercises the zero-padded tail
+])
+def test_pruned_blocks_matches_sliced(n, hop, k_lo, k_hi):
+    """The block-GEMM pruned STFT (framing folded into the contraction;
+    the batch multires hot path) must match the framed pruned GEMM to
+    f32 accumulation-order rounding — same matrix, m partial sums
+    instead of one K-loop."""
+    from emspec.dsp.frame import frame_signal, num_frames, signal_blocks
+    from emspec.dsp.stft import (stft_triple_stencil_blocks,
+                                 stft_triple_stencil_sliced)
+
+    x = jnp.asarray(synth.multitone([60.0, 440.0, 3000.0], 0.3)
+                    + synth.noise(0.3, seed=11, amplitude=0.02))
+    t = num_frames(x.shape[-1], n, hop)
+    want = stft_triple_stencil_sliced(frame_signal(x, n, hop), k_lo, k_hi)
+    got = stft_triple_stencil_blocks(signal_blocks(x, n, hop), t, n,
+                                     k_lo, k_hi)
+    for name, a, b in zip(("X_h", "X_th", "X_dh"), want, got):
+        assert np.asarray(b).shape == np.asarray(a).shape
+        scale = max(float(np.abs(np.asarray(a)).max()), 1e-9)
+        np.testing.assert_allclose(np.asarray(b) / scale,
+                                   np.asarray(a) / scale, atol=2e-6,
+                                   err_msg=name)
+
+
 def test_batched_channels():
     x = np.stack([synth.tone(440.0, 0.1), synth.tone(880.0, 0.1)])
     S = np.asarray(power_spectrogram(jnp.asarray(x), 1024, 256))
