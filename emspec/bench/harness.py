@@ -79,6 +79,7 @@ def _throughput(settings, seconds: float, iters: int) -> dict:
         samples.append((t_hi - t_lo) / (hi - lo))
     dt = float(np.median(samples))                         # marginal s/call
     cols_per_sec = t_count / dt
+    dev_ms = _device_scan_ms_per_call(pipe, xd, p, st, t_count)
     from emspec.bench.roofline import roofline_report
     return {
         "columns_per_sec": cols_per_sec,
@@ -86,11 +87,49 @@ def _throughput(settings, seconds: float, iters: int) -> dict:
         "t_count": t_count,
         "iters": iters,
         "ms_per_call_marginal": dt * 1e3,
+        # chip capability with the relay's per-call dispatch floor
+        # excluded (same scan technique as device_scan_ms_per_hop):
+        "device_ms_per_call": dev_ms,
+        "device_columns_per_sec": t_count / (dev_ms / 1e3),
         "realtime_factor": cols_per_sec * pipe.hop / settings.sample_rate,
         # estimated FLOPs/bytes → achieved rates vs v5e peaks (§5.5 /
         # VERDICT #8: arithmetic-intensity regressions become visible)
         "roofline": roofline_report(pipe, cols_per_sec),
     }
+
+
+def _device_scan_ms_per_call(pipe, xd, p, st0, t_count,
+                             k: int = 8, reps: int = 5) -> float:
+    """Per-call DEVICE cost of the batch pipeline: scan k full calls
+    inside ONE jit so the relay's per-call dispatch floor (measured
+    2.5–4.4+ ms and time-varying — BENCH.md methodology note 4) drops
+    out.  Each iteration multiplies the input by a loop-carried
+    zero-valued probe, so XLA cannot hoist the (loop-invariant)
+    analysis out of the scan; PostState chains as in production.
+    Marginal, fetch-forced, median of reps."""
+    import jax
+    import jax.numpy as jnp
+
+    def step(carry, _):
+        st, probe = carry
+        xi = xd * (1.0 + 0.0 * probe)
+        vis, _, st = pipe._batch_vis(xi, p, st, t_count)
+        pr = jnp.ravel(vis)[0]
+        return (st, pr), pr
+
+    f = jax.jit(lambda c: jax.lax.scan(step, c, None, length=k))
+
+    def chain(iters):
+        c = (st0, jnp.float32(0.0))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c, out = f(c)
+        _ = np.asarray(out).ravel()[0]
+        return time.perf_counter() - t0
+
+    _ = chain(1)                                           # compile + force
+    samples = [(chain(9) - chain(3)) / 6 / k * 1e3 for _ in range(reps)]
+    return float(np.median(samples))
 
 
 def _latency(settings, hops: int = 200) -> dict:

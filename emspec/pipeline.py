@@ -298,6 +298,16 @@ class Pipeline:
         the caller adds its own absolute column index and applies its own
         column-range mask (contrib is already zeroed for every other
         invalidity: sub-floor power, out-of-axis row, |Δt| > N)."""
+        rows_l, delta_l, contrib_l = self._deposits_banked(frames_list, p)
+        cat = lambda parts: jnp.concatenate(
+            [a.reshape(a.shape[:-1] + (-1,)) for a in parts], axis=-1)
+        return cat(rows_l), cat(delta_l), cat(contrib_l)
+
+    def _deposits_banked(self, frames_list, p: PipelineParams):
+        """_deposits without the final concat: three lists of per-bank
+        arrays (row, delta, contrib), each (..., K_b) — the per-bank
+        scatter (``_scatter_mixed``) needs bank identity to use each
+        bank's own reach."""
         sr = float(self.settings.sample_rate)
         rows_l, delta_l, contrib_l = [], [], []
         for frames, n, bb, (k_lo, k_hi) in zip(
@@ -382,9 +392,7 @@ class Pipeline:
             rows_l.append(jnp.clip(row, 0, self.rows - 1))
             delta_l.append(delta)
             contrib_l.append(contrib)
-        cat = lambda parts: jnp.concatenate(
-            [a.reshape(a.shape[:-1] + (-1,)) for a in parts], axis=-1)
-        return cat(rows_l), cat(delta_l), cat(contrib_l)
+        return rows_l, delta_l, contrib_l
 
     def _deposit_ids_rel(self, frames_list, p: PipelineParams):
         """Deposits as relative-histogram inputs ``(ids_rel, contrib)``
@@ -411,11 +419,50 @@ class Pipeline:
     def _enhanced_power(self, x, t_count, p: PipelineParams):
         """Reassigned 2-D histogram directly on the (t, rows) display grid."""
         frames_list = self._bank_inputs(x, t_count)
+        if (len(self.sizes) > 1 and jax.default_backend() == "tpu"
+                and self.settings.scatter != "segment_sum"):
+            # multibank batch: per-bank scatter, each with its own reach
+            return self._scatter_mixed(
+                self._deposits_banked(frames_list, p), t_count, x.shape[:-1])
         if self.use_pallas_scatter:
             ids_rel, contrib = self._deposit_ids_rel(frames_list, p)
             return self._scatter_pallas(ids_rel, contrib, t_count)
         rows_i, delta, contrib = self._deposits(frames_list, p)
         return self._scatter_segment_sum(rows_i, delta, contrib, t_count, x.shape[:-1])
+
+    def _scatter_mixed(self, banked, t_count, lead):
+        """Per-bank scatter for the batch multibank path: bank b's
+        deposits can only move |δ| ≤ R_b = round(N_b/hop) columns, so
+        each bank scatters into its OWN (2R_b+1, rows) relative space
+        instead of the global (2R+1, rows) one sized by the longest
+        bank.  At the default multires config (hop 128) that turns one
+        P=129 scatter of ~400 deposits/frame (segment_sum territory,
+        measured ~4.5 ms device of a 5.7 ms call) into P=9 and P=33
+        pallas scatters for the short banks plus a small-m P=129
+        remainder — each bank picks pallas vs segment_sum by the same
+        measured S = P_b·rows crossover as the global policy.
+
+        TPU-only (the batch caller gates): per-bank summation reorders
+        the f32 cell accumulation vs the global single segment_sum, which
+        would break the CPU suite's streaming ≡ batch bit-exact pin; on
+        TPU the contract is tolerance-level already (tests/test_tpu.py).
+        ``scatter="pallas"`` forces pallas for every bank;
+        ``"segment_sum"`` never reaches here."""
+        rows_l, delta_l, contrib_l = banked
+        force_pallas = self.settings.scatter == "pallas"
+        out = None
+        for row, delta, contrib, n in zip(rows_l, delta_l, contrib_l,
+                                          self.sizes):
+            R_b = int(np.round(n / self.hop))
+            if force_pallas or (2 * R_b + 1) * self.rows <= 16384:
+                ids_rel = (delta + R_b) * self.rows + row
+                part = self._scatter_pallas(ids_rel, contrib, t_count,
+                                            R=R_b)
+            else:
+                part = self._scatter_segment_sum(row, delta, contrib,
+                                                 t_count, lead)
+            out = part if out is None else out + part
+        return out
 
     def _scatter_segment_sum(self, rows_i, delta, contrib, t_count, lead):
         """Correctness-baseline scatter: one flattened segment_sum over the
@@ -433,16 +480,19 @@ class Pipeline:
         out = histogram_reference(flat_ids, flat_vals, t_count * self.rows)
         return out.reshape(lead + (t_count, self.rows))
 
-    def _scatter_pallas(self, ids_rel, contrib, t_count):
+    def _scatter_pallas(self, ids_rel, contrib, t_count, R: int | None = None):
         """TPU fast path: per-frame *relative* histograms on the MXU
         (one-hot matmul kernel, emspec.dsp.pallas.scatter) + a static
         shift-add over the 2R+1 possible column offsets.  No
         data-dependent scatter remains anywhere in the hot path.
         ids_rel/contrib come from ``_deposit_ids_rel`` (out-of-range ids
-        fall outside [0, P·rows) and contribute nothing)."""
+        fall outside [0, P·rows) and contribute nothing).  ``R`` defaults
+        to the pipeline reach; the per-bank mixed scatter passes each
+        bank's own (smaller) reach."""
         from emspec.dsp.pallas.scatter import histogram_matmul
 
-        R = self.reach
+        if R is None:
+            R = self.reach
         P = 2 * R + 1
         hist = histogram_matmul(ids_rel, contrib, P * self.rows,
                                     passes=self.settings.scatter_passes)
