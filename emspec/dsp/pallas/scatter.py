@@ -87,26 +87,35 @@ def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_hi: int, passes: int,
         # mask of an int32 compare straight into 16-bit (16,128) tiling.
         Ot = (jnp.broadcast_to(lo, (_LO, mc)) == lrows
               ).astype(jnp.float32).astype(jnp.bfloat16)
-        # A: (S_hi, MC) — vals routed to their hi-digit row (invalid ids
-        # have hi outside [0, S_hi) and land nowhere).  The MXU multiplies
-        # in bf16; a plain f32 dot would silently truncate vals to 8
-        # mantissa bits (measured 4e-3 relative error on the real chip —
-        # caught by tests/test_tpu.py).  Splitting vals into ``passes``
-        # bf16 terms and summing one single-pass bf16 GEMM per term bounds
-        # the error at ~2^-8·passes relative (all contributions are
-        # non-negative powers, so bin sums can't cancel): 2 passes ⇒
-        # ≤ 2^-16 ≈ 1.5e-5, 3 ⇒ f32-exact.
-        hmatch = hrows == jnp.broadcast_to(hi, (s_hi, mc))
-        acc = out_ref[g]
+        # hi-digit one-hot, also exact bf16 0/1, built ONCE and reused by
+        # every bf16 pass (invalid ids have hi outside [0, S_hi) and land
+        # nowhere).  The MXU multiplies in bf16; a plain f32 dot would
+        # silently truncate vals to 8 mantissa bits (measured 4e-3
+        # relative error on the real chip — caught by tests/test_tpu.py).
+        # Splitting vals into ``passes`` bf16 terms bounds the error at
+        # ~2^-8·passes relative (all contributions are non-negative
+        # powers, so bin sums can't cancel): 2 passes ⇒ ≤ 2^-16 ≈ 1.5e-5,
+        # 3 ⇒ f32-exact.
+        hm = (hrows == jnp.broadcast_to(hi, (s_hi, mc))
+              ).astype(jnp.float32).astype(jnp.bfloat16)
+        # All passes' A terms stack on the M axis and contract in ONE
+        # GEMM: A_p = hm·v_p is a single bf16 multiply (v_p is already
+        # bf16-rounded, the 0/1 mask is exact, so the product is the
+        # exact routed term), and the (passes·S_hi, MC) Acat doubles the
+        # MXU's M-tile occupancy vs one 40-row GEMM per pass — measured
+        # −30% on the whole kernel at the stress shape, bit-identical.
+        parts = []
         resid = vals
         for _ in range(passes):
-            v = resid.astype(jnp.bfloat16).astype(jnp.float32)
-            resid = resid - v
-            A = jnp.where(hmatch, jnp.broadcast_to(v, (s_hi, mc)), 0.0
-                          ).astype(jnp.bfloat16)
-            acc = acc + jax.lax.dot_general(
-                A, Ot, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            v = resid.astype(jnp.bfloat16)
+            resid = resid - v.astype(jnp.float32)
+            parts.append(hm * jnp.broadcast_to(v, (s_hi, mc)))
+        Acat = parts[0] if passes == 1 else jnp.concatenate(parts, axis=0)
+        H = jax.lax.dot_general(Acat, Ot, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = out_ref[g]
+        for pi in range(passes):
+            acc = acc + H[pi * s_hi:(pi + 1) * s_hi]
         out_ref[g] = acc
 
 
@@ -145,11 +154,22 @@ def histogram_matmul(ids: jnp.ndarray, vals: jnp.ndarray, num_bins: int,
 
     s_hi = _round_up(_round_up(num_bins, _LO) // _LO, 8)   # f32 sublane tile
     if m_chunk is None:
-        # auto: one chunk per batch row when A+O fit a ~13 MB VMEM budget
-        # (measured fastest at the stress shape — no grid revisiting), else
-        # the largest 128-multiple that fits
-        m_chunk = max((13 << 20) // (4 * (s_hi + _LO)) // 128 * 128, 512)
-    mc = min(m_chunk, _round_up(m, 128))
+        # auto: one chunk per batch row when the live per-row arrays (Oᵀ +
+        # hm + the stacked Acat, bf16, plus f32 select temps) fit a ~20 MB
+        # VMEM request (measured fastest at the stress shape — no grid
+        # revisiting; Mosaic schedules the streaming).  When m exceeds the
+        # budget, BALANCE the chunks — ceil-dividing m into equal
+        # 128-multiples — instead of chopping at the budget edge: m_pad
+        # rounds up to a chunk multiple, and a chunk just under m would
+        # otherwise nearly double the padded work (measured −20% end to
+        # end at the stress shape when this went wrong).
+        per_m = 2 * (3 * _LO + (1 + passes) * s_hi)
+        m_chunk = max((20 << 20) // per_m // 128 * 128, 512)
+    if _round_up(m, 128) <= m_chunk:
+        mc = _round_up(m, 128)
+    else:
+        n_chunks = -(-m // m_chunk)
+        mc = _round_up(-(-m // n_chunks), 128)
     m_pad = _round_up(m, mc)
     if m_pad != m:
         # pad with id = -1 (contributes nothing)
@@ -180,7 +200,7 @@ def histogram_matmul(ids: jnp.ndarray, vals: jnp.ndarray, num_bins: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b_pad, s_hi, _LO), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(int(1.5 * 4 * mc * (s_hi + _LO))
+            vmem_limit_bytes=(int(1.5 * mc * 2 * (3 * _LO + (1 + passes) * s_hi))
                               + 8 * g * (mc + s_hi * _LO) + (1 << 21)),
         ),
         cost_estimate=pl.CostEstimate(
