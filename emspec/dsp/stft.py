@@ -74,8 +74,20 @@ def stencil_from_raw(X: jnp.ndarray, X_th: jnp.ndarray, n: int):
     Xm1 = jnp.concatenate([jnp.conj(X[..., 1:2]), X[..., :-1]], axis=-1)
     Xp1 = jnp.concatenate([X[..., 1:], jnp.conj(X[..., -2:-1])], axis=-1)
     X_h = 0.5 * X - 0.25 * (Xm1 + Xp1)
-    X_dh = (-0.5j * jnp.pi / n) * (Xm1 - Xp1)
+    X_dh = _mul_neg_i(0.5 * jnp.pi / n, Xm1 - Xp1)
     return X_h, X_th, X_dh
+
+
+def _mul_neg_i(c: float, z: jnp.ndarray) -> jnp.ndarray:
+    """(−i·c)·z for real c, in real arithmetic: re = c·z.im, im = −c·z.re.
+
+    Mathematically identical to ``(-1j * c) * z`` but never materializes
+    a complex *constant*: this machine's remote-TPU relay cannot
+    device_put complex values (the transfer hangs), which broke every
+    EAGER caller of the stencil — jitted callers fold the constant into
+    HLO and never noticed.  Also one real multiply cheaper."""
+    c = jnp.asarray(c, z.real.dtype)
+    return jax.lax.complex(c * z.imag, -c * z.real)
 
 
 def stft_triple_stencil_sliced(frames: jnp.ndarray, k_lo: int, k_hi: int
@@ -114,11 +126,11 @@ def stft_triple_stencil_sliced(frames: jnp.ndarray, k_lo: int, k_hi: int
     pair = jnp.concatenate([f2, f2 * th], axis=0)              # (2B, n)
     out = jnp.dot(pair, w, precision=jax.lax.Precision.HIGH)
     re, im = out[..., :len(ks)], out[..., len(ks):]
-    X = (re + 1j * im).reshape((2, -1, len(ks)))
+    X = jax.lax.complex(re, im).reshape((2, -1, len(ks)))
     Xe = X[0].reshape(lead + (len(ks),))
     X_th = X[1].reshape(lead + (len(ks),))[..., 1:-1]
     X_h = 0.5 * Xe[..., 1:-1] - 0.25 * (Xe[..., :-2] + Xe[..., 2:])
-    X_dh = (-0.5j * jnp.pi / n) * (Xe[..., :-2] - Xe[..., 2:])
+    X_dh = _mul_neg_i(0.5 * jnp.pi / n, Xe[..., :-2] - Xe[..., 2:])
     return X_h, X_th, X_dh
 
 
@@ -162,10 +174,11 @@ def stft_triple_stencil_blocks(x2: jnp.ndarray, t: int, n: int,
         acc = acc + jnp.dot(x2[..., j:j + t, :], wj[j],
                             precision=jax.lax.Precision.HIGH)
     K2 = len(ks)
-    Xe = acc[..., :K2] + 1j * acc[..., K2:2 * K2]
-    X_th = (acc[..., 2 * K2:3 * K2] + 1j * acc[..., 3 * K2:])[..., 1:-1]
+    Xe = jax.lax.complex(acc[..., :K2], acc[..., K2:2 * K2])
+    X_th = jax.lax.complex(acc[..., 2 * K2:3 * K2],
+                           acc[..., 3 * K2:])[..., 1:-1]
     X_h = 0.5 * Xe[..., 1:-1] - 0.25 * (Xe[..., :-2] + Xe[..., 2:])
-    X_dh = (-0.5j * jnp.pi / n) * (Xe[..., :-2] - Xe[..., 2:])
+    X_dh = _mul_neg_i(0.5 * jnp.pi / n, Xe[..., :-2] - Xe[..., 2:])
     return X_h, X_th, X_dh
 
 
