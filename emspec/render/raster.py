@@ -46,11 +46,22 @@ def render_image(x, s: Settings) -> np.ndarray:
 
     Single-bank offline path (linear frequency axis); the multi-res
     log-frequency display path lives in ``emspec.pipeline``.
+
+    The whole analysis→post→LUT graph runs under ONE jit: eagerly, every
+    op is a separate dispatch — on this machine's remote-TPU backend
+    that is a tunnel round trip per op, turning a sub-second render into
+    minutes (and XLA fuses nothing).  One compile per (length, settings)
+    signature; offline renders are one-shot so the trace cost is the
+    point, not a tax.
     """
-    power = analyze(jnp.asarray(x, jnp.float32), s)
     n = s.fft_size
     freqs = np.arange(n // 2 + 1) * (s.sample_rate / n)
-    vis = postprocess(power, freqs, s)
-    rgba = apply_lut(vis, jnp.asarray(lut(s.colormap)))
+
+    def graph(xj):
+        power = analyze(xj, s)
+        vis = postprocess(power, freqs, s)
+        return apply_lut(vis, jnp.asarray(lut(s.colormap)))
+
+    rgba = jax.jit(graph)(jnp.asarray(x, jnp.float32))
     img = np.asarray(rgba)                  # (frames, bins, 4)
     return img.transpose(1, 0, 2)[::-1]     # freq vertical, bass at bottom
