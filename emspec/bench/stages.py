@@ -21,8 +21,7 @@ from emspec.post.chain import PostState, postprocess_column
 from emspec.post.colormap import apply_lut
 
 
-def stage_breakdown(settings: Settings, seconds: float = 4.0,
-                    iters: int = 20) -> dict:
+def stage_breakdown(settings: Settings, seconds: float = 4.0) -> dict:
     from emspec.bench.harness import _signal
 
     pipe = Pipeline(settings)
@@ -42,7 +41,12 @@ def stage_breakdown(settings: Settings, seconds: float = 4.0,
                      for f in pipe._bank_inputs(x, t_count))
 
     def upto_deposits(x):
-        return pipe._deposits(pipe._bank_inputs(x, t_count), p)
+        # whichever deposits route production resolves to on this backend
+        # (fused kernel emits packed ids on TPU; XLA path elsewhere)
+        fl = pipe._bank_inputs(x, t_count)
+        if pipe.use_pallas_scatter and settings.mode == MODE_ENHANCED:
+            return pipe._deposit_ids_rel(fl, p)
+        return pipe._deposits(fl, p)
 
     def upto_power(x):
         if settings.mode == MODE_ENHANCED:
@@ -64,24 +68,39 @@ def stage_breakdown(settings: Settings, seconds: float = 4.0,
         return apply_lut(vis, p.lut), st2
 
     def timed(fn, *args):
-        """Fetch-forced marginal timing (see BENCH.md methodology —
-        block_until_ready is not a reliable barrier on remote backends).
-        Iterations chain through a zero-valued perturbation of x so the
-        runtime cannot dedupe or reorder them."""
-        f = jax.jit(fn)
-        first = jax.tree_util.tree_leaves(f(*args))[0]
-        _ = np.asarray(first[(0,) * first.ndim])          # warmup + force
-        totals = []
-        for it in (max(iters // 4, 2), iters):
-            a = args
+        """DEVICE-side prefix cost via the scan-marginal technique
+        (BENCH.md methodology note 4): k prefix evaluations scanned
+        inside ONE jit, chained through a zero-valued probe so XLA can
+        neither dedupe nor hoist them, fetch-forced, marginal between
+        two chain lengths, median of 5.  Per-call dispatch marginals are
+        useless here — the relay's 2.5–4.4 ms per-call floor is itself
+        larger than most prefixes, and its drift made stage differences
+        negative.  k = 32 scanned calls per dispatch puts sub-100 µs
+        prefixes above the relay's ~±1 ms chain jitter (lax.scan compile
+        time is length-independent); differences below ~30 µs are still
+        noise — stage_us clamps at 0 rather than reporting them
+        negative."""
+        k = 32
+
+        def step(carry, _):
+            probe = carry
+            out = fn(args[0] * (1.0 + 0.0 * probe), *args[1:])
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return jnp.ravel(leaf)[0].astype(jnp.float32) * 0.0, None
+
+        f = jax.jit(lambda c: jax.lax.scan(step, c, None, length=k)[0])
+
+        def chain(n_calls):
+            c = jnp.float32(0.0)
             t0 = time.perf_counter()
-            for _ in range(it):
-                out = jax.tree_util.tree_leaves(f(*a))[0]
-                probe = out[(0,) * out.ndim]
-                a = (args[0] * (1.0 + 0.0 * probe),) + args[1:]
-            _ = np.asarray(probe)
-            totals.append(time.perf_counter() - t0)
-        return (totals[1] - totals[0]) / (iters - max(iters // 4, 2)) * 1e6
+            for _ in range(n_calls):
+                c = f(c)
+            _ = np.asarray(c)                              # force the chain
+            return time.perf_counter() - t0
+
+        _ = chain(1)                                       # compile + warm
+        reps = [(chain(9) - chain(3)) / 6 / k * 1e6 for _ in range(5)]
+        return float(np.median(reps))
 
     prefixes = {
         "frames": timed(upto_frames, xd),

@@ -45,6 +45,13 @@ from emspec.post.chain import (
 )
 from emspec.post.colormap import apply_lut, lut
 
+# Largest relative scatter space S = P·rows where the Pallas histogram
+# kernel beats XLA's segment_sum lowering on TPU v5e — measured crossover
+# (BENCH.md; past it the digit one-hot build and M-tiling outgrow the
+# scatter).  Shared by the global policy (use_pallas_scatter) and the
+# per-bank mixed scatter.
+PALLAS_SCATTER_MAX_S = 16384
+
 
 class PipelineParams(NamedTuple):
     """Everything continuous: post-chain params + merge tables as arrays.
@@ -140,7 +147,7 @@ class Pipeline:
             # one-hot build and M-tiling outgrow XLA's scatter lowering
             # (14.3 vs 9.9 ms/call) — crossover re-measured in BENCH.md.
             return (jax.default_backend() == "tpu"
-                    and (2 * self.reach + 1) * self.rows <= 16384)
+                    and (2 * self.reach + 1) * self.rows <= PALLAS_SCATTER_MAX_S)
         return s == "pallas"
 
     def _use_fused_deposits(self, n: int) -> bool:
@@ -454,7 +461,7 @@ class Pipeline:
         for row, delta, contrib, n in zip(rows_l, delta_l, contrib_l,
                                           self.sizes):
             R_b = int(np.round(n / self.hop))
-            if force_pallas or (2 * R_b + 1) * self.rows <= 16384:
+            if force_pallas or (2 * R_b + 1) * self.rows <= PALLAS_SCATTER_MAX_S:
                 ids_rel = (delta + R_b) * self.rows + row
                 part = self._scatter_pallas(ids_rel, contrib, t_count,
                                             R=R_b)
