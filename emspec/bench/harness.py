@@ -106,30 +106,24 @@ def _device_scan_ms_per_call(pipe, xd, p, st0, t_count,
     out.  Each iteration multiplies the input by a loop-carried
     zero-valued probe, so XLA cannot hoist the (loop-invariant)
     analysis out of the scan; PostState chains as in production.
-    Marginal, fetch-forced, median of reps."""
+    Marginal, fetch-forced, median of reps (emspec.bench.measure)."""
     import jax
     import jax.numpy as jnp
+    from emspec.bench.measure import chain_marginal_ms
 
     def step(carry, _):
         st, probe = carry
         xi = xd * (1.0 + 0.0 * probe)
-        vis, _, st = pipe._batch_vis(xi, p, st, t_count)
-        pr = jnp.ravel(vis)[0]
-        return (st, pr), pr
+        vis, rgba, st = pipe._batch_vis(xi, p, st, t_count)
+        # chain vis AND rgba: the LUT feeds nothing else and would be
+        # dead code otherwise
+        pr = (jnp.ravel(vis)[0] * 0.0
+              + jnp.ravel(rgba)[0].astype(jnp.float32) * 0.0)
+        return (st, pr), None
 
-    f = jax.jit(lambda c: jax.lax.scan(step, c, None, length=k))
-
-    def chain(iters):
-        c = (st0, jnp.float32(0.0))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            c, out = f(c)
-        _ = np.asarray(out).ravel()[0]
-        return time.perf_counter() - t0
-
-    _ = chain(1)                                           # compile + force
-    samples = [(chain(9) - chain(3)) / 6 / k * 1e3 for _ in range(reps)]
-    return float(np.median(samples))
+    f = jax.jit(lambda c: jax.lax.scan(step, c, None, length=k)[0])
+    return chain_marginal_ms(
+        f, lambda: (st0, jnp.float32(0.0)), k, reps=reps)
 
 
 def _latency(settings, hops: int = 200) -> dict:
@@ -225,25 +219,24 @@ def _device_scan_ms_per_hop(settings, k: int = 64, reps: int = 5) -> float:
     wd = jax.device_put(windows.astype(np.float32))
     p = pipe.params()
 
-    def scan_fn(carry, w):
-        carry, (vis, _, _) = pipe._stream_step(carry, w, p)
-        return carry, vis[..., 0]
+    from emspec.bench.measure import chain_marginal_ms
 
-    f = jax.jit(lambda c, ws: jax.lax.scan(scan_fn, c, ws))
-    carry0 = pipe.init_stream_carry(lead)
-    carry, out = f(carry0, wd)
-    _ = np.asarray(out).ravel()[0]                        # compile + force
+    def scan_fn(c2, w):
+        carry, probe = c2
+        carry, (vis, rgba, _) = pipe._stream_step(carry, w, p)
+        # chain BOTH display outputs into the carried probe so no stage
+        # (incl. the LUT, which feeds nothing else) is dead code
+        probe = (probe + jnp.ravel(vis)[0] * 0.0
+                 + jnp.ravel(rgba)[0].astype(jnp.float32) * 0.0)
+        return (carry, probe), None
 
-    def chain(iters):
-        c = pipe.init_stream_carry(lead)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            c, out = f(c, wd)
-        _ = np.asarray(out).ravel()[0]
-        return time.perf_counter() - t0
-
-    samples = [(chain(9) - chain(3)) / 6 / k * 1e3 for _ in range(reps)]
-    return float(np.median(samples))
+    # wd rides as a closed-over device constant; the stream carry chains
+    # every hop and the probe is a jit output, so nothing is DCE-able and
+    # forcing one leaf runs the whole executable
+    f = jax.jit(lambda c: jax.lax.scan(scan_fn, c, wd)[0])
+    return chain_marginal_ms(
+        f, lambda: (pipe.init_stream_carry(lead), jnp.float32(0.0)),
+        k, reps=reps)
 
 
 def write_profiler_trace(settings, outdir: str, hops: int = 40) -> str:

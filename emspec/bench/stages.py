@@ -9,11 +9,8 @@ Bench-mode only — every measurement fences the device.
 
 from __future__ import annotations
 
-import time
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from emspec.config import MODE_ENHANCED, Settings
 from emspec.pipeline import Pipeline
@@ -41,10 +38,15 @@ def stage_breakdown(settings: Settings, seconds: float = 4.0) -> dict:
                      for f in pipe._bank_inputs(x, t_count))
 
     def upto_deposits(x):
-        # whichever deposits route production resolves to on this backend
-        # (fused kernel emits packed ids on TPU; XLA path elsewhere)
+        # whichever deposits route production resolves to on this backend:
+        # multibank TPU consumes the per-bank lists (_scatter_mixed — no
+        # concat), fused single-bank emits packed ids, XLA path elsewhere
         fl = pipe._bank_inputs(x, t_count)
-        if pipe.use_pallas_scatter and settings.mode == MODE_ENHANCED:
+        if settings.mode != MODE_ENHANCED:
+            return pipe._deposits(fl, p)
+        if pipe.use_mixed_scatter:
+            return pipe._deposits_banked(fl, p)
+        if pipe.use_pallas_scatter:
             return pipe._deposit_ids_rel(fl, p)
         return pipe._deposits(fl, p)
 
@@ -69,38 +71,21 @@ def stage_breakdown(settings: Settings, seconds: float = 4.0) -> dict:
 
     def timed(fn, *args):
         """DEVICE-side prefix cost via the scan-marginal technique
-        (BENCH.md methodology note 4): k prefix evaluations scanned
-        inside ONE jit, chained through a zero-valued probe so XLA can
-        neither dedupe nor hoist them, fetch-forced, marginal between
-        two chain lengths, median of 5.  Per-call dispatch marginals are
-        useless here — the relay's 2.5–4.4 ms per-call floor is itself
-        larger than most prefixes, and its drift made stage differences
-        negative.  k = 32 scanned calls per dispatch puts sub-100 µs
-        prefixes above the relay's ~±1 ms chain jitter (lax.scan compile
-        time is length-independent); differences below ~30 µs are still
-        noise — stage_us clamps at 0 rather than reporting them
-        negative."""
+        (emspec.bench.measure / BENCH.md methodology note 4).  Per-call
+        dispatch marginals are useless here — the relay's 2.5–4.4 ms
+        per-call floor is itself larger than most prefixes, and its
+        drift made stage differences negative.  k = 32 scanned calls per
+        dispatch puts sub-100 µs prefixes above the relay's ~±1 ms chain
+        jitter (lax.scan compile time is length-independent);
+        differences below ~30 µs are still noise — stage_us clamps at 0
+        rather than reporting them negative."""
+        from emspec.bench.measure import chain_marginal_ms, probe_chain
+
         k = 32
-
-        def step(carry, _):
-            probe = carry
-            out = fn(args[0] * (1.0 + 0.0 * probe), *args[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.ravel(leaf)[0].astype(jnp.float32) * 0.0, None
-
-        f = jax.jit(lambda c: jax.lax.scan(step, c, None, length=k)[0])
-
-        def chain(n_calls):
-            c = jnp.float32(0.0)
-            t0 = time.perf_counter()
-            for _ in range(n_calls):
-                c = f(c)
-            _ = np.asarray(c)                              # force the chain
-            return time.perf_counter() - t0
-
-        _ = chain(1)                                       # compile + warm
-        reps = [(chain(9) - chain(3)) / 6 / k * 1e6 for _ in range(5)]
-        return float(np.median(reps))
+        step = probe_chain(fn, *args)
+        f = jax.jit(lambda c: jax.lax.scan(
+            lambda cc, _: (step(cc), None), c, None, length=k)[0])
+        return chain_marginal_ms(f, lambda: jnp.float32(0.0), k) * 1e3
 
     prefixes = {
         "frames": timed(upto_frames, xd),

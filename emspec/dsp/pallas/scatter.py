@@ -81,6 +81,13 @@ def _hist_kernel(ids_ref, vals_ref, out_ref, *, s_hi: int, passes: int,
         vals = vals_ref[g]                            # (1, MC) f32
         hi = jnp.right_shift(ids, 7)                  # floor(id/128); -1 → -1
         lo = jnp.bitwise_and(ids, _LO - 1)
+        # Zero the VALUE of out-of-range ids up front (one compare+select
+        # on the (1, MC) row): the M-stacked build multiplies hm·v, and
+        # 0·Inf/0·NaN would poison the whole row's histogram — the old
+        # where-routing dropped such deposits silently, and the docstring
+        # contract (id = -1 ⇒ contributes nothing) must survive non-finite
+        # vals.
+        vals = jnp.where((hi >= 0) & (hi < s_hi), vals, 0.0)
         # Oᵀ: (128, MC) — lo-digit one-hot; 0/1 is exactly representable in
         # bf16, so the MXU's native input type costs no accuracy here.
         # Select in f32 first: Mosaic can't relayout the (8,128)-tiled i1

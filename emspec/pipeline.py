@@ -423,11 +423,18 @@ class Pipeline:
         rows_i, delta, contrib = self._deposits(frames_list, p)
         return (delta + R) * self.rows + rows_i, contrib
 
+    @property
+    def use_mixed_scatter(self) -> bool:
+        """Batch multibank TPU route: per-bank scatter, each bank with its
+        own reach (see _scatter_mixed).  TPU-only — per-bank summation
+        would break the CPU suite's bit-exact pin."""
+        return (len(self.sizes) > 1 and jax.default_backend() == "tpu"
+                and self.settings.scatter != "segment_sum")
+
     def _enhanced_power(self, x, t_count, p: PipelineParams):
         """Reassigned 2-D histogram directly on the (t, rows) display grid."""
         frames_list = self._bank_inputs(x, t_count)
-        if (len(self.sizes) > 1 and jax.default_backend() == "tpu"
-                and self.settings.scatter != "segment_sum"):
+        if self.use_mixed_scatter:
             # multibank batch: per-bank scatter, each with its own reach
             return self._scatter_mixed(
                 self._deposits_banked(frames_list, p), t_count, x.shape[:-1])
@@ -442,12 +449,14 @@ class Pipeline:
         deposits can only move |δ| ≤ R_b = round(N_b/hop) columns, so
         each bank scatters into its OWN (2R_b+1, rows) relative space
         instead of the global (2R+1, rows) one sized by the longest
-        bank.  At the default multires config (hop 128) that turns one
-        P=129 scatter of ~400 deposits/frame (segment_sum territory,
-        measured ~4.5 ms device of a 5.7 ms call) into P=9 and P=33
-        pallas scatters for the short banks plus a small-m P=129
-        remainder — each bank picks pallas vs segment_sum by the same
-        measured S = P_b·rows crossover as the global policy.
+        bank.  Each bank picks pallas vs segment_sum by the same measured
+        S = P_b·rows crossover as the global policy; at the default
+        multires config (rows 512, hop 128) the one P=129 scatter of
+        ~400 deposits/frame (measured ~4.5 ms device of a 5.7 ms call)
+        becomes: bank 512 → P=9 pallas (0.28 vs 2.5 ms), bank 2048 →
+        P=33 segment_sum (S=16896 just over the crossover; measured a
+        tie, 0.97 vs 0.98), bank 8192 → P=129, m=43 segment_sum
+        (0.45 vs 6.6 — small m, huge S is segment_sum territory).
 
         TPU-only (the batch caller gates): per-bank summation reorders
         the f32 cell accumulation vs the global single segment_sum, which

@@ -7,6 +7,8 @@ with bass at the bottom, Inferno colormap).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,6 +43,23 @@ def postprocess(power_tk: jnp.ndarray, freqs_hz: np.ndarray, s: Settings) -> jnp
     return vis
 
 
+@functools.lru_cache(maxsize=8)
+def _render_graph(s: Settings):
+    """Jitted analysis→post→LUT graph for one Settings bundle.  Cached on
+    the (hashable, frozen) Settings so repeated renders — a directory of
+    files, parameter sweeps — reuse the compiled executable; jax.jit then
+    keys on the input length."""
+    n = s.fft_size
+    freqs = np.arange(n // 2 + 1) * (s.sample_rate / n)
+
+    def graph(xj):
+        power = analyze(xj, s)
+        vis = postprocess(power, freqs, s)
+        return apply_lut(vis, jnp.asarray(lut(s.colormap)))
+
+    return jax.jit(graph)
+
+
 def render_image(x, s: Settings) -> np.ndarray:
     """(samples,) float32 audio → (bins, frames, 4) uint8 RGBA image.
 
@@ -50,18 +69,8 @@ def render_image(x, s: Settings) -> np.ndarray:
     The whole analysis→post→LUT graph runs under ONE jit: eagerly, every
     op is a separate dispatch — on this machine's remote-TPU backend
     that is a tunnel round trip per op, turning a sub-second render into
-    minutes (and XLA fuses nothing).  One compile per (length, settings)
-    signature; offline renders are one-shot so the trace cost is the
-    point, not a tax.
+    minutes (and XLA fuses nothing).
     """
-    n = s.fft_size
-    freqs = np.arange(n // 2 + 1) * (s.sample_rate / n)
-
-    def graph(xj):
-        power = analyze(xj, s)
-        vis = postprocess(power, freqs, s)
-        return apply_lut(vis, jnp.asarray(lut(s.colormap)))
-
-    rgba = jax.jit(graph)(jnp.asarray(x, jnp.float32))
+    rgba = _render_graph(s)(jnp.asarray(x, jnp.float32))
     img = np.asarray(rgba)                  # (frames, bins, 4)
     return img.transpose(1, 0, 2)[::-1]     # freq vertical, bass at bottom

@@ -43,6 +43,18 @@ def test_histogram_negative_ids_dropped():
     np.testing.assert_allclose(got, [1.0, 0.0, 5.0, 0.0])
 
 
+def test_histogram_dropped_ids_survive_nonfinite_vals():
+    """The id = -1 ⇒ contributes-nothing contract must hold even when the
+    dropped deposit's value is Inf/NaN: the M-stacked kernel multiplies
+    mask·val, and an unsanitized 0·Inf would NaN-poison the whole row."""
+    ids = jnp.asarray([0, -1, 2, -1], jnp.int32)
+    vals = jnp.asarray([1.0, np.inf, 2.0, np.nan], jnp.float32)
+    with _interp():
+        got = np.asarray(histogram_matmul(ids, vals, 4, m_chunk=128))
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, [1.0, 0.0, 2.0, 0.0])
+
+
 def test_histogram_batched():
     rng = np.random.default_rng(1)
     b, m, s = 3, 517, 257           # awkward sizes exercise padding
