@@ -195,3 +195,22 @@ def test_pipeline_cache_ignores_continuous_fields():
     assert a is b
     c = get_pipeline(base.replace(fft_size=1024, multires=False))
     assert c is not a
+
+
+def test_scan_marginal_scaffold_smoke():
+    """The shared bench scaffold (emspec.bench.measure) must return a
+    finite non-negative marginal and actually chain its probe — a probe
+    that broke the chain would let XLA collapse the scan and measure ~0
+    for real work too, so we only pin the API contract here."""
+    import jax
+    import jax.numpy as jnp
+    from emspec.bench.measure import chain_marginal_ms, probe_chain
+
+    x = jnp.ones((64, 64), jnp.float32)
+    step = probe_chain(lambda a: (a @ a).sum(), x)
+    f = jax.jit(lambda c: jax.lax.scan(
+        lambda cc, _: (step(cc), None), c, None, length=4)[0])
+    ms = chain_marginal_ms(f, lambda: jnp.float32(0.0), 4, reps=2)
+    assert np.isfinite(ms)
+    # probe really chains: the step's output is a zeroed scalar
+    assert float(step(jnp.float32(0.0))) == 0.0
