@@ -194,6 +194,21 @@ def cmd_bench(args) -> int:
             args.trace)
         print(f"profiler trace written to {out}")
         return 0
+    if args.stages:
+        # per-stage device-cost breakdown (SURVEY.md §5.5), scan-marginal
+        # prefix timing — emspec.bench.stages
+        from emspec.bench.stages import stage_breakdown
+        from emspec.config import Settings
+        report = {
+            "8192_enhanced": stage_breakdown(
+                Settings(mode="enhanced", multires=False, fft_size=8192)),
+            "multires": stage_breakdown(Settings(mode="enhanced", multires=True)),
+            "stress_16ch": stage_breakdown(
+                Settings(mode="enhanced", multires=False, fft_size=32768,
+                         sample_rate=96_000, channels=16)),
+        }
+        print(json.dumps(report, indent=2))
+        return 0
     report = run_benchmarks(quick=args.quick)
     print(json.dumps(report, indent=2))
     return 0
@@ -272,6 +287,9 @@ def main(argv=None) -> int:
 
     pb = sub.add_parser("bench", help="run the performance harness")
     pb.add_argument("--quick", action="store_true")
+    pb.add_argument("--stages", action="store_true",
+                    help="per-stage device-cost breakdown instead of the "
+                         "full throughput report")
     pb.add_argument("--trace", metavar="DIR", default=None,
                     help="write a jax.profiler trace of the streaming hot "
                          "loop to DIR instead of running the harness")

@@ -197,12 +197,17 @@ def _latency(settings, hops: int = 200) -> dict:
             "hops": hops}
 
 
-def _device_scan_ms_per_hop(settings, k: int = 64, reps: int = 5) -> float:
+def _device_scan_ms_per_hop(settings, k: int = 512, reps: int = 5) -> float:
     """Per-hop device cost of the exact streaming step, measured by
     scanning ``_stream_step`` over k staged windows inside ONE jit call —
     no per-hop host dispatch, so the environment's tunnel round-trips
     (~30 ms each here) drop out entirely.  Marginal, fetch-forced,
-    median of ``reps`` samples (BENCH.md methodology)."""
+    median of ``reps`` samples (BENCH.md methodology).  k = 512: at the
+    post-optimization ~21 µs hop, k = 64 left only ~1.5 ms of device
+    work per chain call — inside the relay's jitter, and the full-report
+    run once measured a (clamped-impossible) negative marginal.  512
+    hops ≈ 12 ms per call puts the signal well above the noise; the
+    staged windows cost 16 MB of HBM."""
     import jax
     import jax.numpy as jnp
     from emspec.pipeline import get_pipeline
