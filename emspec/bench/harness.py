@@ -68,10 +68,15 @@ def _throughput(settings, seconds: float, iters: int) -> dict:
         return time.perf_counter() - t0
 
     est = chain(max(iters, 2), st) / max(iters, 2)         # rough s/call
-    target_s = 0.3 if iters <= 3 else 0.8                  # per-chain work
-    hi = int(np.clip(np.ceil(target_s / max(est, 1e-5)), max(iters, 4), 512))
+    # sub-ms calls need LONG chains: the relay's drift over a ~1 s window
+    # is tens of ms, so the (hi − lo) delta must dwarf it — 1.5 s of work
+    # per chain and 7 interleaved lo/hi pairs measured the primary config
+    # at 233/182/240k in three consecutive runs (~±15%) where 0.8 s/5
+    # reps had swung ±40% run-to-run
+    target_s = 0.3 if iters <= 3 else 1.5                  # per-chain work
+    hi = int(np.clip(np.ceil(target_s / max(est, 1e-5)), max(iters, 4), 1024))
     lo = max(hi // 4, 2)
-    reps = 3 if iters <= 3 else 5
+    reps = 3 if iters <= 3 else 7
     samples = []
     for _ in range(reps):
         t_lo = chain(lo, st)
