@@ -86,9 +86,45 @@ class PostState(NamedTuple):
         )
 
 
+def _ema_scan(y0: jnp.ndarray, alpha, xs: jnp.ndarray,
+              associative: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Leading-axis EMA ``y_t = α·y_{t-1} + (1−α)·x_t`` → (ys, y_final).
+
+    associative=False: sequential ``lax.scan`` — bit-identical to the
+    streaming per-column evolution (the CPU contract), unroll=8 because
+    the two-FMA body is cheaper than the scan's per-step loop overhead
+    (measured 1.38 → 0.60 ms for the whole post chain at t=1437).
+
+    associative=True (TPU batch path): the affine recurrence composed by
+    ``lax.associative_scan`` — O(log t) full-array sweeps instead of t
+    sequential steps (0.6 → ~0.1 ms at t=1437).  Reassociation changes
+    f32 rounding by ~log2(t)·ε relative (≈1e-6 at t=1437, measured — an
+    order under the display's 1/255 quantum and inside the established
+    on-TPU streaming ≡ batch tolerance contract; the CPU suite keeps the
+    bit-exact pin on the sequential path).
+    """
+    b = (1.0 - alpha) * xs
+    if not associative:
+        def step(y, bt):
+            y = alpha * y + bt
+            return y, y
+
+        y_final, ys = jax.lax.scan(step, y0, b, unroll=8)
+        return ys, y_final
+    a = jnp.broadcast_to(jnp.asarray(alpha, xs.dtype), xs.shape)
+
+    def compose(l, r):
+        (a1, b1), (a2, b2) = l, r
+        return a2 * a1, a2 * b1 + b2
+
+    A, B = jax.lax.associative_scan(compose, (a, b), axis=0)
+    ys = A * y0 + B
+    return ys, ys[-1]
+
+
 def postprocess_batch(
     power_ts: jnp.ndarray, state: PostState, p: PostParams,
-    global_agc: bool = False,
+    global_agc: bool = False, associative: bool | None = None,
 ) -> tuple[jnp.ndarray, PostState]:
     """Whole-signal post chain: (t, ..., rows) power → (t, ..., rows) vis.
 
@@ -99,7 +135,21 @@ def postprocess_batch(
     one big fused elementwise block.  This matters: a naive per-column
     scan serializes t × rows transcendentals; here the sequential part is
     two FMAs per element.
+
+    ``associative`` switches the EMA recurrences to a parallel
+    associative scan (see :func:`_ema_scan` for the cost model and the
+    tolerance note; on the associative path the bit-identical guarantee
+    above relaxes to ~1e-6 relative, within the on-TPU streaming ≡ batch
+    contract).  Default policy, measured on v5e: the associative form
+    trades ~2·log₂t full-array HBM sweeps for the sequential loop's
+    ~⌈t/8⌉ iteration overheads, so it wins only at display-scale t
+    (multires t=1437: post 0.6 → ~0.15 ms, whole call +22%) and loses
+    at t≈372 (r2048/natural: the unrolled loop is already ~0.1 ms) —
+    TPU with t ≥ 1024 picks associative, everything else sequential.
     """
+    if associative is None:
+        associative = (jax.default_backend() == "tpu"
+                       and power_ts.shape[0] >= 1024)
     boosted = power_ts * p.low_end_ramp * p.gain                   # 1-2
     v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # 3
 
@@ -110,17 +160,11 @@ def postprocess_batch(
             peak_db = jnp.broadcast_to(
                 jnp.max(peak_db, axis=lead_axes, keepdims=True), peak_db.shape)
 
-    def ref_step(ref, pk):
-        new = AGC_DECAY * ref + (1.0 - AGC_DECAY) * pk
-        return new, new
-
-    # unroll=8: the recurrences are two FMAs per element, so at display-
-    # scale t (multires t=1437) the per-step loop overhead IS the cost —
-    # measured 1.38 → 0.60 ms for the whole post chain on TPU v5e.
-    # Unrolling only restructures the loop; op order is untouched, so the
-    # batch ≡ streaming bit-exactness contract is preserved (asserted).
-    ref_final, refs = jax.lax.scan(ref_step, state.agc_ref, peak_db,
-                                   unroll=8)
+    # AGC_DECAY stays a PYTHON float: ``1.0 - alpha`` must constant-fold
+    # in f64 exactly as postprocess_column writes it, or the bit-exact
+    # streaming ≡ batch pin breaks in the last mantissa bit
+    refs, ref_final = _ema_scan(state.agc_ref, AGC_DECAY,
+                                peak_db, associative)
     offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - refs)
     v_db = v_db + offset[..., None]                                # 4
 
@@ -128,12 +172,8 @@ def postprocess_batch(
     vis = jnp.clip((v_db - (AGC_TARGET_DB - p.db_range)) / p.db_range,
                    0.0, 1.0)                                       # 6
 
-    def smooth_step(y, col):
-        y = p.smoothing * y + (1.0 - p.smoothing) * col
-        return y, y
-
-    smooth_final, smoothed = jax.lax.scan(smooth_step, state.smooth, vis,
-                                          unroll=8)                    # 7
+    smoothed, smooth_final = _ema_scan(state.smooth, p.smoothing, vis,
+                                       associative)                       # 7
     out = jnp.clip(smoothed * (2.0 * p.brightness), 0.0, 1.0)             # 8
     return out, PostState(smooth=smooth_final, agc_ref=ref_final)
 

@@ -117,3 +117,41 @@ def test_apply_lut():
     assert rgba[2, 0] == 255
     assert rgba[3, 0] == 255   # clipped high
     assert rgba[4, 0] == 0     # clipped low
+
+
+def test_associative_post_matches_sequential_within_tolerance():
+    """The TPU batch path's associative EMA scans (postprocess_batch
+    associative=True) must agree with the sequential bit-exact path to
+    reassociation rounding: ~log2(t)*eps relative, an order under the
+    display's 1/255 quantum.  (On CPU the default stays sequential; this
+    forces the associative branch for coverage.)"""
+    from emspec.post.chain import postprocess_batch
+
+    rng = np.random.default_rng(7)
+    t, rows = 700, 96
+    power = jnp.asarray(rng.random((t, rows)).astype(np.float32) * 1e-2)
+    s = Settings(mode="enhanced", smoothing=0.7, auto_gain=True)
+    p = PostParams.from_settings(s, np.linspace(30, 20000, rows))
+    st = PostState.init((rows,))
+    vis_seq, st_seq = postprocess_batch(power, st, p, associative=False)
+    vis_asc, st_asc = postprocess_batch(power, st, p, associative=True)
+    np.testing.assert_allclose(np.asarray(vis_asc), np.asarray(vis_seq),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_asc.smooth),
+                               np.asarray(st_seq.smooth), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(st_asc.agc_ref),
+                               np.asarray(st_seq.agc_ref), atol=2e-4)
+
+
+def test_batch_default_is_sequential_on_cpu():
+    """The CPU default must stay on the bit-exact sequential path."""
+    from emspec.post.chain import postprocess_batch
+
+    rng = np.random.default_rng(8)
+    power = jnp.asarray(rng.random((64, 48)).astype(np.float32) * 1e-3)
+    s = Settings(mode="enhanced", smoothing=0.4)
+    p = PostParams.from_settings(s, np.linspace(30, 20000, 48))
+    st = PostState.init((48,))
+    vis_default, _ = postprocess_batch(power, st, p)
+    vis_seq, _ = postprocess_batch(power, st, p, associative=False)
+    assert np.array_equal(np.asarray(vis_default), np.asarray(vis_seq))
