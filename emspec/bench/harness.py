@@ -280,17 +280,26 @@ def write_profiler_trace(settings, outdir: str, hops: int = 40) -> str:
 
 
 def primary_metric(quick: bool = False) -> dict:
-    """The headline: reassigned frames/sec/chip at 8192-pt FFT."""
+    """The headline: reassigned frames/sec/chip at 8192-pt FFT.
+
+    Median of three full measurements (quick: one): the relay's mood
+    drifts the per-call marginal ±20% between runs even with 1.5 s
+    chains, so a single sample under- or over-states the steady state
+    (BENCH.md variance note)."""
     from emspec.config import Settings
     s = Settings(mode="enhanced", multires=False, fft_size=8192)
-    r = _throughput(s, seconds=2.0 if quick else 4.0, iters=3 if quick else 10)
+    runs = 1 if quick else 3
+    vals = [_throughput(s, seconds=2.0 if quick else 4.0,
+                        iters=3 if quick else 10)["columns_per_sec"]
+            for _ in range(runs)]
+    v = float(np.median(vals))
     return {
         "metric": "reassigned_spectrogram_frames_per_sec_8192pt",
-        "value": round(r["columns_per_sec"], 1),
+        "value": round(v, 1),
         "unit": "frames/s/chip",
         # no published reference numbers exist (BASELINE.md); compare to the
         # 60 fps sustained-display north-star target
-        "vs_baseline": round(r["columns_per_sec"] / TARGET_FPS, 2),
+        "vs_baseline": round(v / TARGET_FPS, 2),
     }
 
 
