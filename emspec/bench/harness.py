@@ -84,7 +84,12 @@ def _throughput(settings, seconds: float, iters: int) -> dict:
         samples.append((t_hi - t_lo) / (hi - lo))
     dt = float(np.median(samples))                         # marginal s/call
     cols_per_sec = t_count / dt
-    dev_ms = _device_scan_ms_per_call(pipe, xd, p, st, t_count)
+    # size the device scan so each chain call does ≥10 ms of device work:
+    # k=8 was fine at 4 ms/call but post-optimization sub-ms calls left
+    # only ~3 ms of signal — inside the relay's jitter (one run measured
+    # a physically impossible negative marginal)
+    k_dev = int(np.clip(np.ceil(0.010 / max(dt, 1e-5)), 8, 512))
+    dev_ms = _device_scan_ms_per_call(pipe, xd, p, st, t_count, k=k_dev)
     from emspec.bench.roofline import roofline_report
     return {
         "columns_per_sec": cols_per_sec,

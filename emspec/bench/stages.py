@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from emspec.config import MODE_ENHANCED, Settings
 from emspec.pipeline import Pipeline
-from emspec.post.chain import PostState, postprocess_column
+from emspec.post.chain import PostState, postprocess_batch
 from emspec.post.colormap import apply_lut
 
 
@@ -56,17 +56,15 @@ def stage_breakdown(settings: Settings, seconds: float = 4.0) -> dict:
         return pipe._natural_power(x, t_count, p)
 
     def upto_post(x, st):
+        # the PRODUCTION batch post chain (vectorized block + unrolled /
+        # associative EMA scans) — an earlier version scanned the naive
+        # per-column chain here, overstating this stage ~3× at t=372
         power = upto_power(x)
         cols_first = jnp.moveaxis(power, -2, 0)
-
-        def step(s, col):
-            out, s = postprocess_column(col, s, p.post, settings.agc_global)
-            return s, out
-
-        return jax.lax.scan(step, st, cols_first)
+        return postprocess_batch(cols_first, st, p.post, settings.agc_global)
 
     def upto_lut(x, st):
-        st2, vis = upto_post(x, st)
+        vis, st2 = upto_post(x, st)
         return apply_lut(vis, p.lut), st2
 
     def timed(fn, *args):

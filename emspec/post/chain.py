@@ -148,8 +148,15 @@ def postprocess_batch(
     TPU with t ≥ 1024 picks associative, everything else sequential.
     """
     if associative is None:
-        associative = (jax.default_backend() == "tpu"
-                       and power_ts.shape[0] >= 1024)
+        on_tpu = jax.default_backend() == "tpu"
+        # the AGC reference is a (t, [ch]) SCALAR series — its log-sweeps
+        # are microscopic, so associative wins at any t on TPU; the
+        # (t, …, rows) smoothing scan pays full-array HBM sweeps and only
+        # wins at display-scale t
+        assoc_ref = on_tpu
+        assoc_smooth = on_tpu and power_ts.shape[0] >= 1024
+    else:
+        assoc_ref = assoc_smooth = associative
     boosted = power_ts * p.low_end_ramp * p.gain                   # 1-2
     v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # 3
 
@@ -164,7 +171,7 @@ def postprocess_batch(
     # in f64 exactly as postprocess_column writes it, or the bit-exact
     # streaming ≡ batch pin breaks in the last mantissa bit
     refs, ref_final = _ema_scan(state.agc_ref, AGC_DECAY,
-                                peak_db, associative)
+                                peak_db, assoc_ref)
     offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - refs)
     v_db = v_db + offset[..., None]                                # 4
 
@@ -173,7 +180,7 @@ def postprocess_batch(
                    0.0, 1.0)                                       # 6
 
     smoothed, smooth_final = _ema_scan(state.smooth, p.smoothing, vis,
-                                       associative)                       # 7
+                                       assoc_smooth)                      # 7
     out = jnp.clip(smoothed * (2.0 * p.brightness), 0.0, 1.0)             # 8
     return out, PostState(smooth=smooth_final, agc_ref=ref_final)
 
