@@ -77,12 +77,26 @@ def _throughput(settings, seconds: float, iters: int) -> dict:
     hi = int(np.clip(np.ceil(target_s / max(est, 1e-5)), max(iters, 4), 1024))
     lo = max(hi // 4, 2)
     reps = 3 if iters <= 3 else 7
-    samples = []
-    for _ in range(reps):
-        t_lo = chain(lo, st)
-        t_hi = chain(hi, st)
-        samples.append((t_hi - t_lo) / (hi - lo))
+    # a non-positive sample means the relay's jitter exceeded the chains'
+    # work delta (observed in --quick mode: a NEGATIVE frames/s would
+    # have been recorded) — double the chains and redo the whole rep set
+    # rather than cherry-picking the positive samples
+    for _attempt in range(4):
+        samples = []
+        for _ in range(reps):
+            t_lo = chain(lo, st)
+            t_hi = chain(hi, st)
+            samples.append((t_hi - t_lo) / (hi - lo))
+        if min(samples) > 0:
+            break
+        hi = min(hi * 2, 4096)
+        lo = max(hi // 4, 2)
     dt = float(np.median(samples))                         # marginal s/call
+    if dt <= 0:
+        # all retries jitter-swamped: fall back to whole-chain time per
+        # call — overhead-inclusive, so a conservative UNDERestimate of
+        # throughput, but positive and honest (never emit ≤ 0)
+        dt = t_hi / hi
     cols_per_sec = t_count / dt
     # size the device scan so each chain call does ≥10 ms of device work:
     # k=8 was fine at 4 ms/call but post-optimization sub-ms calls left
