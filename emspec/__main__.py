@@ -84,6 +84,7 @@ def cmd_stream(args) -> int:
     streams every channel through one multichannel Stream and tiles one
     waterfall per channel."""
     from emspec.io.wav import read_wav
+    from emspec.post.colormap import lut
     from emspec.render.png import tile_images, write_png
     from emspec.render.waterfall import Waterfall
     from emspec.stream import Stream
@@ -93,13 +94,16 @@ def cmd_stream(args) -> int:
     nch = audio.shape[0] if tiled else 1
     s = _settings_from(args, rate, channels=nch, multires_default=True)
     stream = Stream(s)
-    wfs = [Waterfall(args.width, s.raster_height, s.scroll_speed)
+    wfs = [Waterfall(args.width, s.raster_height, s.scroll_speed,
+                     lut_table=lut(s.colormap))
            for _ in range(nch)]
     x = audio if tiled else audio[0 if args.channel == "all" else int(args.channel)]
     n_cols = 0
     def paint(col):
+        one = col.rgba.ndim == 2
         for c, wf in enumerate(wfs):
-            wf.add_column(col.rgba if col.rgba.ndim == 2 else col.rgba[c])
+            wf.add_column(col.rgba if one else col.rgba[c],
+                          col.vis if one else col.vis[c])
     for i in range(0, x.shape[-1], args.chunk):
         for col in stream.push(x[..., i:i + args.chunk]):
             paint(col)

@@ -26,6 +26,7 @@ import numpy as np
 
 from emspec.config import PresetStore, Settings, is_structural_change
 from emspec.integrations.live_state import LiveStateWatcher
+from emspec.post.colormap import lut
 from emspec.render.waterfall import Waterfall
 from emspec.stream import Stream
 from emspec.utils.notes import describe_frequency
@@ -43,7 +44,8 @@ class EmSpecApp:
         self.stream = Stream(self.settings)
         self.waterfall = Waterfall(self.settings.raster_width,
                                    self.settings.raster_height,
-                                   self.settings.scroll_speed)
+                                   self.settings.scroll_speed,
+                                   lut_table=lut(self.settings.colormap))
         self.watcher = LiveStateWatcher(
             self.user_dir / "live_state.json",
             on_minimized=self.stream.pause,
@@ -65,8 +67,10 @@ class EmSpecApp:
             # a continuous setting — switching channels is a host-side
             # slice, never a recompile (tiled multi-channel output lives in
             # the render CLI: ``--channel all``)
+            one = c.rgba.ndim == 2
             self.waterfall.add_column(
-                c.rgba if c.rgba.ndim == 2 else c.rgba[ch])
+                c.rgba if one else c.rgba[ch],
+                c.vis if one else c.vis[ch])
         return len(cols)
 
     def image(self) -> np.ndarray:
@@ -93,13 +97,16 @@ class EmSpecApp:
             if (new.raster_width != old.raster_width
                     or new.raster_height != old.raster_height):
                 self.waterfall = Waterfall(new.raster_width, new.raster_height,
-                                           new.scroll_speed)
+                                           new.scroll_speed,
+                                           lut_table=lut(new.colormap))
             else:
                 self.waterfall.scroll_speed = new.scroll_speed
+                self.waterfall.lut_table = lut(new.colormap)
             return "structural"
         # continuous: swap the params pytree in place — next hop sees it
         self.stream.params = self.stream.pipe.params(new)
         self.waterfall.scroll_speed = new.scroll_speed
+        self.waterfall.lut_table = lut(new.colormap)   # LUT is data
         return "continuous"
 
     def set(self, **changes) -> str:

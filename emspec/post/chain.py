@@ -104,6 +104,12 @@ def _ema_scan(y0: jnp.ndarray, alpha, xs: jnp.ndarray,
     bit-exact pin on the sequential path).
     """
     b = (1.0 - alpha) * xs
+    if xs.shape[0] == 0:
+        # t = 0 (audio shorter than one frame): mimic a length-0 lax.scan
+        # — empty ys, carry unchanged.  The associative branch below would
+        # raise on ys[-1] (ADVICE round 2, verified on the TPU backend
+        # where assoc_ref defaults on).
+        return b, y0
     if not associative:
         def step(y, bt):
             y = alpha * y + bt

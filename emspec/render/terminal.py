@@ -69,6 +69,7 @@ def live_view(source, settings, width: int = 512,
     import time
 
     from emspec.io.wav import read_wav
+    from emspec.post.colormap import lut
     from emspec.render.waterfall import Waterfall
     from emspec.stream import Stream
 
@@ -78,7 +79,8 @@ def live_view(source, settings, width: int = 512,
         audio, rate = read_wav(source)
     s = settings.replace(sample_rate=rate)
     stream = Stream(s)
-    wf = Waterfall(width, s.raster_height, s.scroll_speed)
+    wf = Waterfall(width, s.raster_height, s.scroll_speed,
+                   lut_table=lut(s.colormap))
     x = audio[0]
     chunk = max(rate // 30, 1024)                   # ~30 UI updates/sec
     n_cols = 0
@@ -87,7 +89,7 @@ def live_view(source, settings, width: int = 512,
     try:
         for i in range(0, len(x), chunk):
             for col in stream.push(x[i:i + chunk]):
-                wf.add_column(col.rgba)
+                wf.add_column(col.rgba, col.vis)
                 n_cols += 1
             out.write(_HOME + frame_to_ansi(wf.image()) + "\n")
             out.flush()
@@ -97,7 +99,7 @@ def live_view(source, settings, width: int = 512,
                 if delay > 0:
                     time.sleep(delay)
         for col in stream.flush():
-            wf.add_column(col.rgba)
+            wf.add_column(col.rgba, col.vis)
             n_cols += 1
         out.write(_HOME + frame_to_ansi(wf.image()) + "\n")
         out.flush()
@@ -121,12 +123,14 @@ def live_capture_view(settings, backend: str = "auto", duration: float = 10.0,
     import time
 
     from emspec.io.capture import open_capture
+    from emspec.post.colormap import lut
     from emspec.render.waterfall import Waterfall
     from emspec.stream import Stream
 
     s = settings
     st = Stream(s)
-    wf = Waterfall(width, s.raster_height, s.scroll_speed)
+    wf = Waterfall(width, s.raster_height, s.scroll_speed,
+                   lut_table=lut(s.colormap))
     ch = s.channels
     cap = open_capture(st.ring.push, backend=backend,
                        sample_rate=s.sample_rate, channels=ch, block=block)
@@ -139,8 +143,9 @@ def live_capture_view(settings, backend: str = "auto", duration: float = 10.0,
         t_end = time.perf_counter() + duration
         while time.perf_counter() < t_end:
             for col in st.push(empty):        # drain whatever has arrived
-                wf.add_column(col.rgba if col.rgba.ndim == 2
-                              else col.rgba[s.display_channel])
+                one = col.rgba.ndim == 2
+                wf.add_column(col.rgba if one else col.rgba[s.display_channel],
+                              col.vis if one else col.vis[s.display_channel])
                 n_cols += 1
             out.write(_HOME + frame_to_ansi(wf.image()) + "\n")
             out.flush()

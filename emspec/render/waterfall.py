@@ -13,6 +13,15 @@ paints the **average** of the two analyzed columns (energy-preserving
 decimation — round 1 discarded the off-phase columns); 2.0 → each hop
 paints two (duplicated) columns, scrolling twice as fast.  At speed 1.0
 the painted column is bit-identical to the emitted column.
+
+Sub-1 averaging happens **pre-LUT**, on the ``vis`` values the stream
+emits alongside each RGBA column (VERDICT round-2 #4): the mean of
+colormapped uint8 is *not* the colormap of the mean — through a
+nonlinear LUT like inferno it lands on desaturated off-palette colors.
+Callers therefore pass ``vis_column`` (and a ``lut_table``) so the
+painted pixel is ``LUT(mean(vis))`` — always on the palette.  Legacy
+RGBA-space averaging remains only as the fallback when no vis/LUT is
+available (e.g. pre-rendered rasters).
 """
 
 from __future__ import annotations
@@ -20,6 +29,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from emspec.post.colormap import apply_lut
 
 
 def _advance(buf, head, column, steps):
@@ -36,31 +47,48 @@ def _mean_u8(acc, n):
     return jnp.round(acc / n).astype(jnp.uint8)
 
 
-class Waterfall:
-    """Fixed-width scrolling raster of RGBA columns."""
+def _mean_vis_lut(acc, vis, n, table):
+    """LUT of the mean vis — the palette-correct fractional-speed pixel."""
+    return apply_lut((acc + vis) / n, table)
 
-    def __init__(self, width: int, rows: int, scroll_speed: float = 1.0):
+
+class Waterfall:
+    """Fixed-width scrolling raster of RGBA columns.
+
+    ``lut_table``: optional (256, 4) uint8 colormap table.  With it set,
+    fractional-speed averaging runs in vis space (pre-LUT) whenever the
+    caller also passes ``vis_column`` — swap it on colormap changes (it is
+    data, not structure; see app controller)."""
+
+    def __init__(self, width: int, rows: int, scroll_speed: float = 1.0,
+                 lut_table=None):
         self.width = int(width)
         self.rows = int(rows)
         self.scroll_speed = float(scroll_speed)
+        self.lut_table = lut_table
         self._buf = jnp.zeros((self.width, self.rows, 4), jnp.uint8)
         self._head = jnp.int32(0)
         self._phase = 0.0          # fractional columns owed (host scalar)
         self._acc = None           # float32 sum of columns since last paint
         self._acc_n = 0
+        self._acc_is_vis = False   # True: _acc sums vis, not RGBA
         self._advance = jax.jit(_advance, donate_argnums=0, static_argnums=3)
         self._mean = jax.jit(_mean_u8, static_argnums=1)
+        self._mean_vis = jax.jit(_mean_vis_lut, static_argnums=2)
 
-    def add_column(self, rgba_column: jax.Array) -> None:
-        """rgba_column: (rows, 4) uint8 (device). Paints 0+ pixel columns
-        according to scroll speed; stays on device.  Sub-1 speeds average
-        every analyzed column into the painted pixel (nothing analyzed is
-        discarded)."""
+    def add_column(self, rgba_column: jax.Array,
+                   vis_column: jax.Array | None = None) -> None:
+        """rgba_column: (rows, 4) uint8 (device); vis_column: the matching
+        (rows,) float32 display values (``Column.vis``), enabling pre-LUT
+        averaging.  Paints 0+ pixel columns according to scroll speed;
+        stays on device.  Sub-1 speeds average every analyzed column into
+        the painted pixel (nothing analyzed is discarded)."""
         if rgba_column.ndim != 2:
             raise ValueError(
                 f"add_column expects one (rows, 4) column, got shape "
                 f"{rgba_column.shape} — for multichannel streams pass one "
                 f"channel (e.g. col.rgba[ch])")
+        use_vis = vis_column is not None and self.lut_table is not None
         self._phase += self.scroll_speed
         steps = int(self._phase)
         self._phase -= steps
@@ -68,16 +96,36 @@ class Waterfall:
             # fractional speed: bank this column for the next painted
             # pixel (speeds >= 1 never reach here — zero extra device
             # ops on the common path, painted column stays bit-identical)
+            if self._acc is not None and self._acc_is_vis != use_vis:
+                raise ValueError(
+                    "mixed vis/RGBA columns within one fractional-speed "
+                    "accumulation — pass vis_column (and set lut_table) "
+                    "consistently for every column")
+            banked = vis_column if use_vis else rgba_column
             if self._acc is None:
-                self._acc = rgba_column.astype(jnp.float32)
+                self._acc = banked.astype(jnp.float32)
                 self._acc_n = 1
+                self._acc_is_vis = use_vis
             else:
-                self._acc = self._acc + rgba_column.astype(jnp.float32)
+                self._acc = self._acc + banked.astype(jnp.float32)
                 self._acc_n += 1
             return
         if self._acc is not None:
-            column = self._mean(self._acc + rgba_column.astype(jnp.float32),
-                                self._acc_n + 1)
+            if self._acc_is_vis and use_vis:
+                # palette-correct: LUT applied to the mean vis
+                column = self._mean_vis(self._acc,
+                                        vis_column.astype(jnp.float32),
+                                        self._acc_n + 1,
+                                        jnp.asarray(self.lut_table))
+            elif not self._acc_is_vis and not use_vis:
+                column = self._mean(
+                    self._acc + rgba_column.astype(jnp.float32),
+                    self._acc_n + 1)
+            else:
+                raise ValueError(
+                    "mixed vis/RGBA columns within one fractional-speed "
+                    "accumulation — pass vis_column (and set lut_table) "
+                    "consistently for every column")
             self._acc = None
             self._acc_n = 0
         else:

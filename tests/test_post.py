@@ -155,3 +155,23 @@ def test_batch_default_is_sequential_on_cpu():
     vis_default, _ = postprocess_batch(power, st, p)
     vis_seq, _ = postprocess_batch(power, st, p, associative=False)
     assert np.array_equal(np.asarray(vis_default), np.asarray(vis_seq))
+
+
+def test_empty_time_axis_associative_path():
+    """t = 0 (audio shorter than one frame) through the ASSOCIATIVE branch
+    — the TPU default — must behave like the length-0 lax.scan: empty vis,
+    carry unchanged (ADVICE round 2: ys[-1] raised IndexError)."""
+    from emspec.post.chain import postprocess_batch
+
+    rows = 32
+    power = jnp.zeros((0, rows), jnp.float32)
+    s = Settings(mode="enhanced", smoothing=0.5, auto_gain=True)
+    p = PostParams.from_settings(s, np.linspace(30, 20000, rows))
+    st = PostState.init((rows,))
+    for assoc in (True, False, None):
+        vis, st_out = postprocess_batch(power, st, p, associative=assoc)
+        assert vis.shape == (0, rows)
+        np.testing.assert_array_equal(np.asarray(st_out.smooth),
+                                      np.asarray(st.smooth))
+        np.testing.assert_array_equal(np.asarray(st_out.agc_ref),
+                                      np.asarray(st.agc_ref))

@@ -157,6 +157,46 @@ def test_waterfall_fractional_speed_averages():
                                   np.full((4, 4), 150, np.uint8))
 
 
+def test_waterfall_fractional_mean_is_pre_lut():
+    """Sub-1 scroll-speed averaging runs in vis space: the painted pixel
+    is LUT(mean(vis)) — on the palette — not mean(LUT(vis)), which lands
+    off-palette through a nonlinear map (DESIGN.md §8 round-3
+    correction)."""
+    import jax.numpy as jnp
+
+    from emspec.post.colormap import apply_lut, lut
+
+    table = lut("inferno")
+    v_a = jnp.full((4,), 0.1, jnp.float32)
+    v_b = jnp.full((4,), 0.9, jnp.float32)
+    rgba_a = apply_lut(v_a, jnp.asarray(table))
+    rgba_b = apply_lut(v_b, jnp.asarray(table))
+    wf = Waterfall(8, 4, scroll_speed=0.5, lut_table=table)
+    wf.add_column(rgba_a, v_a)     # phase 0.5 — banks vis, paints nothing
+    wf.add_column(rgba_b, v_b)     # phase 1.0 — paints LUT(mean vis)
+    img = wf.image()
+    expect = np.asarray(apply_lut(jnp.full((4,), 0.5, jnp.float32),
+                                  jnp.asarray(table)))
+    np.testing.assert_array_equal(img[:, -1], expect[::-1])
+    # and the old RGBA-space mean is genuinely different through inferno
+    rgba_mean = np.round((np.asarray(rgba_a).astype(np.float64)
+                          + np.asarray(rgba_b)) / 2).astype(np.uint8)
+    assert not np.array_equal(expect, rgba_mean)
+
+
+def test_waterfall_mixed_vis_rgba_rejected():
+    """Banked vis columns followed by an RGBA-only column (or vice versa)
+    is a caller bug — rejected loudly rather than silently mis-averaged."""
+    import jax.numpy as jnp
+
+    from emspec.post.colormap import lut
+
+    wf = Waterfall(8, 4, scroll_speed=0.25, lut_table=lut("inferno"))
+    wf.add_column(jnp.zeros((4, 4), jnp.uint8), jnp.zeros((4,), jnp.float32))
+    with pytest.raises(ValueError, match="mixed"):
+        wf.add_column(jnp.zeros((4, 4), jnp.uint8))
+
+
 def test_waterfall_speed_one_bit_identical():
     """At speed 1.0 the painted column is the emitted column exactly (no
     float round-trip)."""
