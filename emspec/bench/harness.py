@@ -301,16 +301,22 @@ def write_profiler_trace(settings, outdir: str, hops: int = 40) -> str:
 def primary_metric(quick: bool = False) -> dict:
     """The headline: reassigned frames/sec/chip at 8192-pt FFT.
 
-    Median of three full measurements (quick: one): the relay's mood
-    drifts the per-call marginal ±20% between runs even with 1.5 s
-    chains, so a single sample under- or over-states the steady state
-    (BENCH.md variance note)."""
+    ``value`` is the median relay-marginal over three full measurements
+    (quick: one) — an end-to-end number that includes this environment's
+    tunnel dispatch residual, which drifts it ±20% between runs even
+    with 1.5 s chains (BENCH.md variance note).  The STABLE round-over-
+    round number is ``device_frames_per_sec``: chip capability from the
+    device-side scan marginal (reproducible to ~2%); ``band`` is the
+    [min, max] of the relay samples so a reader can tell relay weather
+    from engineering (VERDICT round-2 #2)."""
     from emspec.config import Settings
     s = Settings(mode="enhanced", multires=False, fft_size=8192)
     runs = 1 if quick else 3
-    vals = [_throughput(s, seconds=2.0 if quick else 4.0,
-                        iters=3 if quick else 10)["columns_per_sec"]
-            for _ in range(runs)]
+    reports = [_throughput(s, seconds=2.0 if quick else 4.0,
+                           iters=3 if quick else 10)
+               for _ in range(runs)]
+    vals = [r["columns_per_sec"] for r in reports]
+    dev_vals = [r["device_columns_per_sec"] for r in reports]
     v = float(np.median(vals))
     return {
         "metric": "reassigned_spectrogram_frames_per_sec_8192pt",
@@ -319,6 +325,11 @@ def primary_metric(quick: bool = False) -> dict:
         # no published reference numbers exist (BASELINE.md); compare to the
         # 60 fps sustained-display north-star target
         "vs_baseline": round(v / TARGET_FPS, 2),
+        # chip capability: per-call dispatch floor excluded via the
+        # device-side scan marginal — the reproducible number
+        "device_frames_per_sec": round(float(np.median(dev_vals)), 1),
+        "band": [round(min(vals), 1), round(max(vals), 1)],
+        "device_band": [round(min(dev_vals), 1), round(max(dev_vals), 1)],
     }
 
 

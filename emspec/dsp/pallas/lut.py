@@ -24,6 +24,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from emspec.dsp.pallas import check_jax_compat
+
+check_jax_compat()   # warn once on Mosaic/jax version drift (pin in __init__)
+
 
 def _lut_kernel(idx_ref, tab_ref, out_ref):
     idx = idx_ref[0]                                   # (1, MC) int32

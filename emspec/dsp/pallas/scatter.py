@@ -40,6 +40,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from emspec.dsp.pallas import check_jax_compat
+
+check_jax_compat()   # warn once on Mosaic/jax version drift (pin in __init__)
+
 _LO = 128            # lane width: the low digit's radix
 
 

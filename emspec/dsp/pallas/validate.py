@@ -149,7 +149,11 @@ def validate_kernels(quick: bool = False) -> dict:
         validate_fft4((8192,) if quick else (8192, 32768))
         validate_deposits(8192 if quick else 32768)
         validate_lut()
-    return {"backend": jax.default_backend(), "kernels_validated": True}
+    from emspec.dsp.pallas import TESTED_JAX_VERSION, check_jax_compat
+    return {"backend": jax.default_backend(), "kernels_validated": True,
+            "jax_version": jax.__version__,
+            "jax_version_tested": TESTED_JAX_VERSION,
+            "jax_version_match": check_jax_compat()}
 
 
 def validate_lut() -> None:

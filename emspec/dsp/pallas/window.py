@@ -20,6 +20,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from emspec.dsp.pallas import check_jax_compat
+
+check_jax_compat()   # warn once on Mosaic/jax version drift (pin in __init__)
+
 from emspec.dsp.windows import window_triple
 
 
