@@ -121,8 +121,12 @@ def cmd_live(args) -> int:
     if args.capture:
         from emspec.render.terminal import live_capture_view
         s = _settings_from(args, args.sample_rate, multires_default=True)
+        device = args.device
+        if device is not None and device.lstrip("-").isdigit():
+            device = int(device)
         n = live_capture_view(s, backend=args.backend,
-                              duration=args.duration, width=args.width)
+                              duration=args.duration, width=args.width,
+                              device=device)
         print(f"\ndisplayed {n} columns ({args.backend} capture)")
         return 0
     if not args.input:
@@ -255,6 +259,11 @@ def main(argv=None) -> int:
                     default="auto", help="capture backend (auto: real device "
                                          "if sounddevice is installed, else "
                                          "synthetic test source)")
+    pl.add_argument("--device", default=None,
+                    help="capture device index or PortAudio name (default: "
+                         "prefer a loopback/monitor input — the OS output "
+                         "tap the reference visualizes — else the default "
+                         "input)")
     pl.add_argument("--duration", type=float, default=10.0,
                     help="capture run time in seconds")
     pl.add_argument("--sample-rate", type=int, default=48_000)

@@ -7,9 +7,12 @@ audio"); reproducing an OS loopback driver is out of scope (SURVEY.md
 that invokes ``sink(chunk)`` with float32 ``(channels, k)`` sample blocks
 at real-time rate from its own thread.  Two backends:
 
-* ``sounddevice`` — a real microphone/loopback input via the PortAudio
-  binding, used when the optional ``sounddevice`` package is importable
-  (it is not vendored; the CLI and tests skip cleanly without it).
+* ``sounddevice`` — a real input via the PortAudio binding, used when
+  the optional ``sounddevice`` package is importable (not vendored; the
+  CLI and tests skip cleanly without it).  Loopback/monitor inputs (the
+  OS *output* tap — what the reference actually visualizes) are
+  preferred over microphones where the host API exposes them;
+  ``--device`` overrides.
 * ``synthetic`` — a thread that synthesizes a glide-plus-partials test
   signal and delivers it in capture-callback-sized blocks *paced to the
   sample clock*.  This is not just a test double: it exercises the exact
@@ -96,13 +99,46 @@ class SyntheticCapture:
             self._thread.join(timeout=2.0)
 
 
+def find_loopback_device(sd) -> tuple[int, str] | None:
+    """Locate an OS *output* tap among PortAudio's input devices.
+
+    The reference visualizes **system audio** (README.md:36), not a
+    microphone.  Where the host API exposes the output as a capturable
+    input — PulseAudio/PipeWire "Monitor of …" / "….monitor" sources,
+    WASAPI "… [Loopback]" endpoints — prefer it.  Returns
+    ``(device_index, device_name)`` or None when the platform exposes no
+    loopback path (then the default input is the honest fallback)."""
+    try:
+        devices = sd.query_devices()
+    except Exception:
+        return None
+    for i, d in enumerate(devices):
+        try:
+            name = str(d["name"])
+            if int(d["max_input_channels"]) <= 0:
+                continue
+        except (KeyError, TypeError, ValueError):
+            continue
+        low = name.lower()
+        if ("monitor of" in low or low.endswith(".monitor")
+                or "loopback" in low):
+            return i, name
+    return None
+
+
 class SoundDeviceCapture:
-    """Microphone / loopback input via the optional ``sounddevice``
+    """System-audio / microphone input via the optional ``sounddevice``
     package (PortAudio).  The callback pushes float32 (channels, k)
-    blocks into the sink — the same contract as SyntheticCapture."""
+    blocks into the sink — the same contract as SyntheticCapture.
+
+    With ``device=None`` a loopback/monitor input (the OS output tap —
+    what the reference actually visualizes) is preferred when the host
+    API exposes one; pass ``device`` (index or PortAudio name substring)
+    to override."""
 
     def __init__(self, sink: Sink, sample_rate: int = 48_000,
-                 channels: int = 1, block: int = 512, device=None):
+                 channels: int = 1, block: int = 512, device=None,
+                 prefer_loopback: bool = True):
         try:
             import sounddevice as sd
         except ImportError as e:
@@ -114,6 +150,13 @@ class SoundDeviceCapture:
         self.sample_rate = int(sample_rate)
         self.channels = int(channels)
         self.block = int(block)
+        self.device_name: str | None = None
+        self.is_loopback = False
+        if device is None and prefer_loopback:
+            found = find_loopback_device(sd)
+            if found is not None:
+                device, self.device_name = found
+                self.is_loopback = True
         self.device = device
         self._stream = None
 
@@ -136,15 +179,22 @@ class SoundDeviceCapture:
 
 
 def open_capture(sink: Sink, backend: str = "auto", sample_rate: int = 48_000,
-                 channels: int = 1, block: int = 512):
+                 channels: int = 1, block: int = 512, device=None):
     """Capture factory.  ``auto`` prefers a real device (sounddevice) and
     falls back to the synthetic source so ``emspec live --capture`` always
-    shows something."""
+    shows something.
+
+    Among real devices, a loopback/monitor input — the OS output tap the
+    reference visualizes (README.md:36 "your system audio") — is
+    preferred where the PortAudio host API exposes one (WASAPI loopback
+    endpoints, PulseAudio/PipeWire monitor sources); ``device`` (index or
+    name) overrides the selection."""
     if backend not in ("auto", "sounddevice", "synthetic"):
         raise ValueError(f"unknown capture backend: {backend!r}")
     if backend in ("auto", "sounddevice"):
         try:
-            return SoundDeviceCapture(sink, sample_rate, channels, block)
+            return SoundDeviceCapture(sink, sample_rate, channels, block,
+                                      device=device)
         except CaptureUnavailable:
             if backend == "sounddevice":
                 raise

@@ -111,7 +111,7 @@ def live_view(source, settings, width: int = 512,
 
 def live_capture_view(settings, backend: str = "auto", duration: float = 10.0,
                       width: int = 512, out=sys.stdout,
-                      block: int = 512) -> int:
+                      block: int = 512, device=None) -> int:
     """Live-capture terminal waterfall (reference: README.md:36 "start
     visualizing your system audio").
 
@@ -133,7 +133,8 @@ def live_capture_view(settings, backend: str = "auto", duration: float = 10.0,
                    lut_table=lut(s.colormap))
     ch = s.channels
     cap = open_capture(st.ring.push, backend=backend,
-                       sample_rate=s.sample_rate, channels=ch, block=block)
+                       sample_rate=s.sample_rate, channels=ch, block=block,
+                       device=device)
     empty = (np.zeros((ch, 0), np.float32) if ch > 1
              else np.zeros(0, np.float32))
     n_cols = 0

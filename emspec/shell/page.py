@@ -105,9 +105,17 @@ let S = null;
 
 function el(id){ return document.getElementById(id); }
 
+function showUpdate(u) {
+  // update notice in the settings header (reference README.md:53-55)
+  if (!u || !u.latest) return;
+  el("version").textContent = "Current Version: v" + u.current +
+    "  ·  update available: v" + u.latest + (u.url ? "  ·  " + u.url : "");
+}
+
 function buildPanel(meta) {
   el("version").textContent = "Current Version: v" + meta.version +
     "  ·  backend: " + meta.backend;
+  showUpdate(meta.update);
   for (const n of meta.fft_sizes) {
     const o = document.createElement("option"); o.value=o.textContent=n;
     el("fft_size").appendChild(o);
@@ -231,6 +239,7 @@ async function stateLoop() {
     const st = await (await fetch("/api/state")).json();
     el("minimized").style.display = st.paused ? "flex" : "none";
     document.title = (S && S.on_top ? "📌 " : "") + "emspec";
+    showUpdate(st.update);   // async check may land after page load
   } catch (e) {}
   setTimeout(stateLoop, 500);
 }

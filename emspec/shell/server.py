@@ -52,6 +52,11 @@ class ShellServer:
         self._capture = None
         self._feeder = None
         self._worker = None
+        # async update check on startup, notice surfaced in the settings
+        # window header (reference README.md:53-55; offline-safe — no
+        # manifest configured means .notice stays None)
+        from emspec.utils.update import UpdateChecker
+        self.update_check = UpdateChecker()
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port),
                                          self._make_handler())
         self.port = self.httpd.server_address[1]
@@ -193,7 +198,8 @@ class ShellServer:
                     self._json({"version": __version__,
                                 "backend": jax.default_backend(),
                                 "fft_sizes": list(FFT_SIZES),
-                                "colormaps": list(COLORMAPS)})
+                                "colormaps": list(COLORMAPS),
+                                "update": shell.update_check.notice})
                 elif url.path == "/api/settings":
                     self._json(app.settings.to_dict())
                 elif url.path == "/api/frame":
@@ -205,7 +211,8 @@ class ShellServer:
                 elif url.path == "/api/state":
                     self._json({"paused": app.stream._paused,
                                 "on_top": app.settings.on_top,
-                                "dropped_frames": app.stream.dropped_frames})
+                                "dropped_frames": app.stream.dropped_frames,
+                                "update": shell.update_check.notice})
                 elif url.path == "/api/axis":
                     with shell.lock:
                         self._json(app.axis_ticks())
@@ -269,7 +276,8 @@ class ShellServer:
                         self._json({"error": str(e)}, 400)
                         return
                     self._json({"kind": kind,
-                                "settings": app.settings.to_dict()})
+                                "settings": app.settings.to_dict(),
+                                "update": shell.update_check.notice})
                 elif url.path.startswith("/api/preset/"):
                     op = url.path.rsplit("/", 1)[1]
                     name = q.get("name", ["Default"])[0]
