@@ -84,3 +84,90 @@ class ShardedPipeline:
                            self._repl)
         st = state if state is not None else self.init_state()
         return self._step(xd, p, st, t_count=t_count)
+
+
+class ShardedStream:
+    """Channel-sharded STREAMING: the production per-hop ``_stream_step``
+    jitted over the mesh with the full carry — hop counter (replicated),
+    pending reassignment ring (P, ch, rows) and post-chain state (both
+    channel-sharded) — **donated** each hop, exactly like the single-chip
+    Stream's executable.  The scatter is channel-local; with
+    ``agc_global=True`` the per-hop cross-channel max is the one ICI
+    all-reduce (SURVEY.md §5.8).
+
+    This is the streaming counterpart of :class:`ShardedPipeline` —
+    windows in, finalized display columns out; ``stream_signal`` mirrors
+    ``emspec.stream.stream_signal`` so streaming ≡ batch is assertable
+    under sharding (tests/test_parallel.py).
+    """
+
+    def __init__(self, settings: Settings, mesh: Mesh, params=None):
+        if settings.channels % mesh.devices.size != 0:
+            raise ValueError(
+                f"channels ({settings.channels}) must be divisible by the "
+                f"mesh size ({mesh.devices.size})")
+        self.mesh = mesh
+        ax = mesh.axis_names[0]
+        self.pipe: Pipeline = get_pipeline(settings)
+        self.settings = settings
+        ch = settings.channels
+        repl = NamedSharding(mesh, P())
+        self._sh_window = NamedSharding(mesh, P(ax, None))
+        sh_carry = (
+            repl,                                     # hop counter t
+            NamedSharding(mesh, P(None, ax, None)),   # acc (P, ch, rows)
+            PostState(smooth=NamedSharding(mesh, P(ax, None)),
+                      agc_ref=NamedSharding(mesh, P(ax))),
+        )
+        self._carry = jax.device_put(
+            self.pipe.init_stream_carry((ch,)), sh_carry)
+        self.params = jax.device_put(
+            params or self.pipe.params(settings), repl)
+        self._step = jax.jit(
+            self.pipe._stream_step,
+            donate_argnums=0,
+            out_shardings=(
+                sh_carry,
+                (NamedSharding(mesh, P(ax, None)),        # vis (ch, rows)
+                 NamedSharding(mesh, P(ax, None, None)),  # rgba
+                 repl),                                   # emitted index
+            ),
+        )
+        self._t = 0
+
+    def step(self, window: np.ndarray):
+        """One hop: (channels, n_max) window → finalized column or None
+        (warmup: the first ``reach`` hops emit nothing, like Stream)."""
+        dev = jax.device_put(np.asarray(window, np.float32),
+                             self._sh_window)
+        self._carry, (vis, rgba, _) = self._step(self._carry, dev,
+                                                 self.params)
+        idx = self._t - self.pipe.reach
+        self._t += 1
+        return None if idx < 0 else (idx, vis, rgba)
+
+
+def stream_signal_sharded(x: np.ndarray, settings: Settings, mesh: Mesh):
+    """Hop-by-hop sharded streaming of a whole signal → (vis, rgba) host
+    arrays, the sharded counterpart of ``emspec.stream.stream_signal``
+    (zero-padded flush hops drain the pending ring identically)."""
+    st = ShardedStream(settings, mesh)
+    pipe = st.pipe
+    x = np.asarray(x, np.float32)
+    t_count = pipe.num_columns(x.shape[-1])
+    if t_count <= 0:
+        raise ValueError(f"need at least {pipe.n_max} samples")
+    cols = []
+    zero = np.zeros((settings.channels, pipe.n_max), np.float32)
+    for t in range(t_count + pipe.reach):
+        if t < t_count:
+            window = x[..., t * pipe.hop: t * pipe.hop + pipe.n_max]
+        else:
+            window = zero
+        out = st.step(window)
+        if out is not None:
+            cols.append(out)
+    cols.sort(key=lambda c: c[0])
+    vis = np.stack([np.asarray(v) for _, v, _ in cols])
+    rgba = np.stack([np.asarray(r) for _, _, r in cols])
+    return vis, rgba
