@@ -103,7 +103,7 @@ def validate_deposits(n: int = 8192, b: int = 3) -> None:
         row_w = jnp.round((jnp.log2(jnp.maximum(f_hat, 1e-6)) - a_) * b_
                           ).astype(jnp.int32)
         valid = ((power > floor) & (row_w >= 0) & (row_w < rows)
-                 & (f_hat > 0) & (jnp.abs(dt) <= float(n)))
+                 & (f_hat > 0) & (jnp.abs(dt) <= float(n) / 2.0))
         contrib_w = jnp.where(valid, power * (1.0 / (float(n) * n)), 0.0)
         return jnp.clip(row_w, 0, rows - 1), delta_w, contrib_w
 

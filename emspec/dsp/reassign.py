@@ -76,8 +76,9 @@ def reassigned_bins(
         (power > power_floor)
         & (t_bin >= 0) & (t_bin < num_frames)
         & (f_bin >= 0) & (f_bin < k_count)
-        # a correction larger than the window support is a numerical artifact
-        & (jnp.abs(dt) <= float(n))
+        # a correction beyond the window half-support N/2 is a numerical
+        # artifact (Δt is a first moment over [−N/2, N/2] — DESIGN.md §3)
+        & (jnp.abs(dt) <= float(n) / 2.0)
     )
     t_bin = jnp.clip(t_bin, 0, num_frames - 1)
     f_bin = jnp.clip(f_bin, 0, k_count - 1)

@@ -304,7 +304,7 @@ class Pipeline:
         ``col_delta = round(Δt/hop)`` is the *relative* column offset —
         the caller adds its own absolute column index and applies its own
         column-range mask (contrib is already zeroed for every other
-        invalidity: sub-floor power, out-of-axis row, |Δt| > N)."""
+        invalidity: sub-floor power, out-of-axis row, |Δt| > N/2)."""
         rows_l, delta_l, contrib_l = self._deposits_banked(frames_list, p)
         cat = lambda parts: jnp.concatenate(
             [a.reshape(a.shape[:-1] + (-1,)) for a in parts], axis=-1)
@@ -393,7 +393,7 @@ class Pipeline:
                 (power > p.power_floor)
                 & (row >= 0) & (row < self.rows)
                 & (f_hat > 0)
-                & (jnp.abs(dt) <= float(n))
+                & (jnp.abs(dt) <= float(n) / 2.0)
             )
             contrib = jnp.where(valid, power * bb * (1.0 / float(n * n)), 0.0)
             rows_l.append(jnp.clip(row, 0, self.rows - 1))
@@ -446,7 +446,7 @@ class Pipeline:
 
     def _scatter_mixed(self, banked, t_count, lead):
         """Per-bank scatter for the batch multibank path: bank b's
-        deposits can only move |δ| ≤ R_b = round(N_b/hop) columns, so
+        deposits can only move |δ| ≤ R_b = round(N_b/(2·hop)) columns, so
         each bank scatters into its OWN (2R_b+1, rows) relative space
         instead of the global (2R+1, rows) one sized by the longest
         bank.  Each bank picks pallas vs segment_sum by the same measured
@@ -469,7 +469,7 @@ class Pipeline:
         out = None
         for row, delta, contrib, n in zip(rows_l, delta_l, contrib_l,
                                           self.sizes):
-            R_b = int(np.round(n / self.hop))
+            R_b = int(np.round(n / (2.0 * self.hop)))
             if force_pallas or (2 * R_b + 1) * self.rows <= PALLAS_SCATTER_MAX_S:
                 ids_rel = (delta + R_b) * self.rows + row
                 part = self._scatter_pallas(ids_rel, contrib, t_count,
@@ -548,11 +548,18 @@ class Pipeline:
     # ---------------- streaming path (per-hop step, SURVEY.md §3.2) ----------
     @property
     def reach(self) -> int:
-        """R: max columns the time-reassignment can move energy (|Δt| ≤ N
-        ⇒ |δ| ≤ round(N/hop)).  Natural mode never moves energy: R = 0."""
+        """R: max columns the time-reassignment can move energy.
+
+        Δt is the first moment of time over the window support
+        [−N/2, N/2] (Auger–Flandrin; DESIGN.md §3), so |Δt| ≤ N/2 for
+        any physical component — larger excursions are interference/
+        noise artifacts the validity mask drops (round-3 spec
+        tightening from |Δt| ≤ N: halves P = 2R+1 scatter spaces AND
+        the streaming emit latency).  |δ| ≤ round(N/(2·hop)); natural
+        mode never moves energy: R = 0."""
         if self.settings.mode != MODE_ENHANCED:
             return 0
-        return max(int(np.round(n / self.hop)) for n in self.sizes)
+        return max(int(np.round(n / (2.0 * self.hop))) for n in self.sizes)
 
     def _bank_windows(self, window: jnp.ndarray):
         """Single analysis window (..., N_max) → center-aligned per-bank

@@ -74,7 +74,7 @@ def reassigned_spectrogram(
             cross_d = X_dh[t, k] * np.conj(X_h[t, k])
             dt = cross_t.real / p          # samples from frame center
             dw = -cross_d.imag / p         # rad/sample
-            if abs(dt) > n:
+            if abs(dt) > n / 2.0:      # beyond the window support
                 continue
             tb = t + int(np.round(dt / hop))   # relative rounding (see impl)
             f_hat = k + dw * n / (2.0 * np.pi)
@@ -227,7 +227,7 @@ def multires_enhanced(x, sizes, hop, rows, sample_rate, f_min, zoom,
                     continue
                 dt = (X_th[k] * np.conj(X_h[k])).real / p
                 dw = -(X_dh[k] * np.conj(X_h[k])).imag / p
-                if abs(dt) > n:
+                if abs(dt) > n / 2.0:   # beyond the window support
                     continue
                 f_hat = (k + dw * n / (2 * np.pi)) * (sample_rate / n)
                 if f_hat <= 0:

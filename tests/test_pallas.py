@@ -216,7 +216,7 @@ def test_fft4_deposits_matches_unfused_path(n, hop, B):
     row_w = jnp.round((jnp.log2(jnp.maximum(f_hat, 1e-6)) - a_) * b_
                       ).astype(jnp.int32)
     valid = ((power > floor) & (row_w >= 0) & (row_w < rows)
-             & (f_hat > 0) & (jnp.abs(dt) <= float(n)))
+             & (f_hat > 0) & (jnp.abs(dt) <= float(n) / 2.0))
     contrib_w = jnp.where(valid, power * (1.0 / (float(n) * n)), 0.0)
     row_w = jnp.clip(row_w, 0, rows - 1)
 
@@ -293,7 +293,7 @@ def test_pallas_scatter_short_signal():
     from emspec.pipeline import Pipeline
     from emspec.io import synth
 
-    s = Settings(mode="enhanced", multires=False, fft_size=1024, hop=256,
+    s = Settings(mode="enhanced", multires=False, fft_size=1024, hop=128,
                  raster_height=128, scatter="pallas", auto_gain=False)
     pipe = Pipeline(s)
     assert pipe.reach >= 3

@@ -192,3 +192,69 @@ def test_stream_step_compiles_with_pallas_on_tpu():
     carry, (vis, rgba, idx) = pipe._stream_jit(carry, window, pipe.params())
     assert np.asarray(vis).shape == (pipe.rows,)
     assert np.asarray(rgba).dtype == np.uint8
+
+
+def test_roofline_model_matches_measured_kernels():
+    """VERDICT round-2 #7: the roofline model's per-stage flop/byte
+    formulas must reproduce reality within ~2×, not drift as formulas.
+    Re-times the two stress-shape kernels on the chip (scan-marginal
+    methodology) and asserts the MODEL-implied MXU efficiency lands in a
+    physical band around the BENCH.md ablation figures (~70% for the
+    fused analysis kernel, GEMM-bound for the scatter): an efficiency
+    above ~105% means the model overcounts; below ~20% means it
+    undercounts (both would make pct_v5e_bf16_peak fiction)."""
+    import jax.numpy as jnp
+
+    from emspec.bench.measure import chain_marginal_ms, probe_chain
+    from emspec.bench.roofline import V5E_BF16_TFLOPS, stage_costs
+    from emspec.config import Settings
+    from emspec.pipeline import Pipeline
+    from emspec.dsp.pallas.fft4 import fft4_deposits
+    from emspec.dsp.pallas.scatter import histogram_matmul
+
+    s = Settings(mode="enhanced", multires=False, fft_size=32768,
+                 sample_rate=96_000, channels=16)
+    pipe = Pipeline(s)
+    n = 32768
+    assert pipe._use_fused_deposits(n) and pipe.use_pallas_scatter
+    st = stage_costs(pipe)
+    assert st["analysis"]["validation"] == "measured-r3"
+    assert st["scatter"]["validation"] == "measured-r3"
+
+    b = 96                       # frames per probe call (16ch × 6 cols)
+    C = s.channels
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(rng.standard_normal((b, n)).astype(np.float32) * 0.1)
+    p = pipe.params()
+    R = pipe.reach
+
+    def time_of(fn, *args):
+        k = 8
+        step = probe_chain(fn, *args)
+        f = jax.jit(lambda c: jax.lax.scan(
+            lambda pr, _: (step(pr), 0.0), c, None, length=k)[0])
+        return chain_marginal_ms(f, lambda: jnp.float32(0.0), k, reps=3)
+
+    # fused analysis kernel: model flops vs measured time
+    def analysis(fr):
+        return fft4_deposits(fr, p.logmap_a, p.logmap_b, p.power_floor,
+                             n=n, hop=pipe.hop, sr=float(s.sample_rate),
+                             rows=pipe.rows, reach=R)
+
+    t_an = time_of(analysis, frames)
+    cols = b / C                              # model flops are per column
+    eff_an = (st["analysis"]["flops"] * cols / (t_an * 1e-3)) / (
+        V5E_BF16_TFLOPS * 1e12)
+    assert 0.2 < eff_an < 1.05, f"analysis model eff {eff_an:.2f} unphysical"
+
+    # scatter kernel: model GEMM flops vs measured time
+    ids, contrib = analysis(frames)
+    S = (2 * R + 1) * pipe.rows
+
+    def scatter(c2):
+        return histogram_matmul(ids, c2, S)
+
+    t_sc = time_of(scatter, contrib)
+    eff_sc = (st["scatter"]["flops"] * cols / (t_sc * 1e-3)) / (
+        V5E_BF16_TFLOPS * 1e12)
+    assert 0.05 < eff_sc < 1.05, f"scatter model eff {eff_sc:.2f} unphysical"
