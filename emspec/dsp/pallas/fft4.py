@@ -238,44 +238,18 @@ def _host_tables_half(n: int):
             c2h, c2l, s2h, s2l, c2e, s2e)
 
 
-def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
-                     t_tile: int, n1: int, n2: int, hop: int, sr: float,
-                     rows: int, half: bool, reach: int | None):
-    """Per frame: the raw and t·h spectra via two real-input four-step
-    chains, then — entirely in VMEM — the periodic-Hann stencils, the
-    Auger–Flandrin corrections, and the display-grid quantization.
-    Output order is (k1, k2)-major: the scatter is a histogram, so
-    deposit order is irrelevant — no step-4 reindex/transpose ever
-    touches HBM.
-
-    Hermitian edges need no special cases: with the FULL k = 0..N−1
-    spectrum resident, A((k±1) mod N) exists literally and equals the
-    conj-reflected value the sliced formulation (stencil_from_raw)
-    special-cases — up to the engine's own table rounding (A(N−k) and
-    conj(A(k)) come from different cos/sin entries), which sits inside
-    the fourstep tolerance contract the tests pin.
-    """
+def _frame_quantized(fr, th, tables, *, n1: int, n2: int, hop: int,
+                     sr: float, rows: int, half: bool,
+                     logmap_a, logmap_b, power_floor, kg, k_valid):
+    """One frame, entirely in VMEM: raw + t·h spectra via two real-input
+    four-step chains, periodic-Hann stencils, Auger–Flandrin corrections,
+    display-grid quantization → (row_c, delta, contrib) tiles, each
+    (n1, n2/2+1) in (k1, k2)-major order.  Shared by the deposits and
+    fused-histogram kernels (identical math — the quantization contract
+    lives here exactly once for both)."""
     n = n1 * n2
     k2_keep = n2 // 2 + 1
-    n_tables = 12 if half else 10
-    tables = tuple(r[:] for r in refs[:n_tables])
-    if reach is None:
-        row_ref, delta_ref, contrib_ref = refs[n_tables:]
-    else:
-        ids_ref, contrib_ref = refs[n_tables:]
-    logmap_a = scal_ref[0]
-    logmap_b = scal_ref[1]
-    power_floor = scal_ref[2]
-
-    # static index grids (k1, k2_keep): true bin index k = k1 + n1·k2
-    # (integer iota — Mosaic's tpu.iota has no float flavor)
-    k1g = jax.lax.broadcasted_iota(jnp.int32, (n1, k2_keep), 0)
-    k2g = jax.lax.broadcasted_iota(jnp.int32, (n1, k2_keep), 1)
-    kg = (k1g + n1 * k2g).astype(jnp.float32)
-    # bins beyond N/2 inside the kept block: k2 == n2/2 with k1 > 0
-    k_valid = kg <= float(n // 2)
-
-    for t in range(t_tile):
+    if True:
         # two REAL-input transforms (raw and t·h·frames, the window
         # applied in VMEM from the resident table).  No complex packing:
         # Mosaic has no `rev` primitive, so the Hermitian unpack's
@@ -284,11 +258,10 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
         # identically; neighbors are plain wrapped shifts).  Costs +50%
         # MXU dots vs the packed transform, buys back the whole
         # unpack+stencil+corrections HBM round-trip.
-        fr = zr_ref[t]
         if half:
             # half-spectrum chains: k2 ∈ [0, n2/2] only (n1, k2_keep)
             Ar, Ai = _fft4_frame_real_half(fr, tables)
-            Br, Bi = _fft4_frame_real_half(fr * th_ref[:], tables)
+            Br, Bi = _fft4_frame_real_half(fr * th, tables)
             # neighbors A((k∓1) mod N) on the half block: interior
             # shifts are identical to the full-range case; the two
             # seam elements that used to be literal reads from the
@@ -320,8 +293,8 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
             Am1r, Am1i = prev_k_pair(Ar, Ai)
             Ap1r, Ap1i = next_k_pair(Ar, Ai)
         else:
-            Ar, Ai = _fft4_frame_real(fr, tables)             # raw spectrum
-            Br, Bi = _fft4_frame_real(fr * th_ref[:], tables)  # t·h spectrum
+            Ar, Ai = _fft4_frame_real(fr, tables)          # raw spectrum
+            Br, Bi = _fft4_frame_real(fr * th, tables)     # t·h spectrum
             # neighbors A((k∓1) mod N) — shifts along k1 with a k2 carry row
             def prev_k(M):
                 wrap = jnp.concatenate([M[-1:, -1:], M[-1:, :-1]], 1)
@@ -357,9 +330,57 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
         valid = ((power > power_floor)
                  & (row >= 0) & (row < rows)
                  & (f_hat > 0)
-                 & (jnp.abs(dt) <= jnp.float32(n))
+                 & (jnp.abs(dt) <= jnp.float32(n) * 0.5)
                  & k_valid)
         row_c = jnp.clip(row, 0, rows - 1)
+        contrib = jnp.where(
+            valid, power * jnp.float32(1.0 / (float(n) * float(n))), 0.0)
+        return row_c, delta, contrib
+
+
+def _iota_grids(n1: int, n2: int):
+    """Static (k1, k2_keep) index grids: true bin index k = k1 + n1·k2
+    (integer iota — Mosaic's tpu.iota has no float flavor), and the
+    valid-bin mask (bins beyond N/2 inside the kept block are the
+    k2 == n2/2, k1 > 0 Hermitian duplicates)."""
+    k2_keep = n2 // 2 + 1
+    k1g = jax.lax.broadcasted_iota(jnp.int32, (n1, k2_keep), 0)
+    k2g = jax.lax.broadcasted_iota(jnp.int32, (n1, k2_keep), 1)
+    kg = (k1g + n1 * k2g).astype(jnp.float32)
+    k_valid = kg <= float((n1 * n2) // 2)
+    return kg, k_valid
+
+
+def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
+                     t_tile: int, n1: int, n2: int, hop: int, sr: float,
+                     rows: int, half: bool, reach: int | None):
+    """Per frame: _frame_quantized in VMEM, deposits written to HBM.
+    Output order is (k1, k2)-major: the scatter is a histogram, so
+    deposit order is irrelevant — no step-4 reindex/transpose ever
+    touches HBM.
+
+    Hermitian edges need no special cases: with the FULL k = 0..N−1
+    spectrum resident, A((k±1) mod N) exists literally and equals the
+    conj-reflected value the sliced formulation (stencil_from_raw)
+    special-cases — up to the engine's own table rounding (A(N−k) and
+    conj(A(k)) come from different cos/sin entries), which sits inside
+    the fourstep tolerance contract the tests pin.
+    """
+    n_tables = 12 if half else 10
+    tables = tuple(r[:] for r in refs[:n_tables])
+    if reach is None:
+        row_ref, delta_ref, contrib_ref = refs[n_tables:]
+    else:
+        ids_ref, contrib_ref = refs[n_tables:]
+    kg, k_valid = _iota_grids(n1, n2)
+    th = th_ref[:]
+
+    for t in range(t_tile):
+        row_c, delta, contrib = _frame_quantized(
+            zr_ref[t], th, tables, n1=n1, n2=n2, hop=hop, sr=sr,
+            rows=rows, half=half, logmap_a=scal_ref[0],
+            logmap_b=scal_ref[1], power_floor=scal_ref[2],
+            kg=kg, k_valid=k_valid)
         if reach is None:
             row_ref[t] = row_c
             delta_ref[t] = delta
@@ -370,7 +391,7 @@ def _deposits_kernel(scal_ref, zr_ref, th_ref, *refs,
             # Out-of-range δ lands outside [0, P·rows) and the scatter
             # drops it, same as the unfused contract.
             ids_ref[t] = (delta + jnp.int32(reach)) * jnp.int32(rows) + row_c
-        contrib_ref[t] = jnp.where(valid, power * jnp.float32(1.0 / (float(n) * float(n))), 0.0)
+        contrib_ref[t] = contrib
 
 
 @functools.partial(jax.jit, static_argnames=("n", "hop", "sr", "rows",
@@ -458,3 +479,219 @@ def fft4_deposits(frames: jnp.ndarray,
     )(scal, zr, th, *tables)
     flat = (b_pad, n1 * k2_keep)
     return tuple(o.reshape(flat)[:b] for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused kernel: analysis + reassignment SCATTER in one VMEM pass —
+# the deposits (ids, contrib) never exist in HBM (round-2 VERDICT item 1:
+# the scatter's 0.29 ms ids round trip + the A build were the measured
+# headroom at the stress shape; BENCH.md item 19).
+# ---------------------------------------------------------------------------
+
+def _tile_hist(ids, contrib, *, s_hi: int, passes: int, row_chunk: int):
+    """Histogram of one (n1, K2) deposits tile WITHOUT the lane→sublane
+    relayout — the blocker that kept the scatter a separate kernel.
+
+    The standalone scatter kernel (scatter.py) wants every id on the
+    LANE axis: its one-hots are sublane-broadcasts of a (1, m) row, and
+    deposits arriving as 2-D (n1, k2) spectra tiles would need the
+    (n1, k2)→lanes flatten (a relayout measured at 1.8× the whole kernel
+    when the orientation went the wrong way; BENCH.md item 14).
+
+    Here each SUBLANE-slice ids[r, :] is already a lane-resident (1, K2)
+    row — the exact shape the proven builds take — so the one-hots per
+    row are the standalone kernel's sublane-broadcast + compare:
+
+        A_r[h, l] = v_l·[hi_l == h]    (passes·s_hi, K2)
+        O_r[o, l] = [lo_l == o]        (128, K2)
+
+    ``row_chunk`` rows' blocks then lane-concatenate into one
+    (·, row_chunk·K2) pair, and the lanes-lanes ``dot_general``
+    (contract dim 1 of both — scatter.py item 14's orientation) absorbs
+    the chunk in ONE MXU contraction.  A lane-broadcast dual of this
+    (m on sublanes, contract dim 0) was measured 6.5× SLOWER at the
+    8192 shape — minor-dim broadcasts of sublane columns are the
+    expensive VPU direction; negative result recorded in BENCH.md.
+    bf16 value splitting follows the scatter kernel's contract exactly
+    (2 passes ⇒ ≤2⁻¹⁶ relative, non-negative summands)."""
+    n1, k2k = ids.shape
+    # Main body: the first k2k−1 columns (always a multiple of 64, and of
+    # 128 on the half-spectrum sizes) — lane-concat offsets stay tile-
+    # aligned, so the chunk assembly is copies, not shift chains.  The
+    # dropped edge column k2 = n2/2 holds exactly ONE valid deposit (the
+    # true Nyquist bin needs k = k1 + n1·n2/2 ≤ N/2 ⇒ k1 = 0; every
+    # other row is k_valid-masked to zero contribution) — it rejoins via
+    # an exact f32 scalar one-hot below, skipping the bf16 split.
+    k2c = k2k - 1
+    sub_lo = jax.lax.broadcasted_iota(jnp.int32, (_HIST_LO, k2c), 0)
+    sub_hi = jax.lax.broadcasted_iota(jnp.int32, (s_hi, k2c), 0)
+    acc = jnp.zeros((passes * s_hi, _HIST_LO), jnp.float32)
+    for c in range(0, n1, row_chunk):
+        blocks_a, blocks_o = [], []
+        for r in range(c, min(c + row_chunk, n1)):
+            idr = jax.lax.slice(ids, (r, 0), (r + 1, k2c))      # (1, K2c)
+            vr = jax.lax.slice(contrib, (r, 0), (r + 1, k2c))
+            hi = jnp.right_shift(idr, 7)
+            lo = jnp.bitwise_and(idr, _HIST_LO - 1)
+            # zero the VALUE of out-of-range ids (id < 0 ⇒ nothing,
+            # NaN/Inf-safe — same contract as histogram_matmul)
+            vr = jnp.where((hi >= 0) & (hi < s_hi), vr, 0.0)
+            # f32 select first: Mosaic can't relayout an i1 compare mask
+            # straight into 16-bit tiling (scatter.py lesson)
+            ot = (jnp.broadcast_to(lo, (_HIST_LO, k2c)) == sub_lo
+                  ).astype(jnp.float32).astype(jnp.bfloat16)
+            hm = (jnp.broadcast_to(hi, (s_hi, k2c)) == sub_hi
+                  ).astype(jnp.float32).astype(jnp.bfloat16)
+            parts = []
+            resid = vr
+            for _ in range(passes):
+                v = resid.astype(jnp.bfloat16)
+                resid = resid - v.astype(jnp.float32)
+                parts.append(hm * jnp.broadcast_to(v, (s_hi, k2c)))
+            blocks_a.append(parts[0] if passes == 1
+                            else jnp.concatenate(parts, 0))
+            blocks_o.append(ot)
+        a_cat = blocks_a[0] if len(blocks_a) == 1 else jnp.concatenate(blocks_a, 1)
+        o_cat = blocks_o[0] if len(blocks_o) == 1 else jnp.concatenate(blocks_o, 1)
+        acc = acc + jax.lax.dot_general(
+            a_cat, o_cat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    h = acc[:s_hi]
+    for p in range(1, passes):
+        h = h + acc[p * s_hi:(p + 1) * s_hi]
+    # Nyquist fixup: the one live edge-column deposit, exact f32
+    id0 = ids[0, k2c]
+    v0 = contrib[0, k2c]
+    hi0 = jnp.right_shift(id0, 7)
+    lo0 = jnp.bitwise_and(id0, _HIST_LO - 1)
+    oh = ((jax.lax.broadcasted_iota(jnp.int32, (s_hi, _HIST_LO), 0) == hi0)
+          & (jax.lax.broadcasted_iota(jnp.int32, (s_hi, _HIST_LO), 1) == lo0))
+    return h + jnp.where(oh, v0, 0.0)
+
+
+_HIST_LO = 128     # lo-digit radix — lane width, same as scatter.py
+
+
+def _hist_kernel(scal_ref, zr_ref, th_ref, *refs,
+                 t_tile: int, n1: int, n2: int, hop: int, sr: float,
+                 rows: int, half: bool, reach: int, s_hi: int,
+                 s_hi_pad: int, passes: int, row_chunk: int):
+    """_frame_quantized → in-VMEM column scatter → per-frame relative
+    histogram (s_hi_pad, 128).  ``scal_ref[3]`` is the streaming
+    negative-column mask threshold: contributions with
+    id < min_id are dropped (batch passes −2³⁰ ⇒ keep everything)."""
+    n_tables = 12 if half else 10
+    tables = tuple(r[:] for r in refs[:n_tables])
+    out_ref = refs[n_tables]
+    kg, k_valid = _iota_grids(n1, n2)
+    th = th_ref[:]
+    min_id = scal_ref[3].astype(jnp.int32)
+
+    for t in range(t_tile):
+        row_c, delta, contrib = _frame_quantized(
+            zr_ref[t], th, tables, n1=n1, n2=n2, hop=hop, sr=sr,
+            rows=rows, half=half, logmap_a=scal_ref[0],
+            logmap_b=scal_ref[1], power_floor=scal_ref[2],
+            kg=kg, k_valid=k_valid)
+        ids = (delta + jnp.int32(reach)) * jnp.int32(rows) + row_c
+        # streaming mask: t + δ ≥ 0 ⟺ id ≥ (R − t)·rows (row < rows
+        # makes these exactly equivalent — pipeline._stream_step)
+        contrib = jnp.where(ids >= min_id, contrib, 0.0)
+        h = _tile_hist(ids, contrib, s_hi=s_hi, passes=passes,
+                       row_chunk=row_chunk)
+        if s_hi_pad != s_hi:
+            h = jnp.concatenate(
+                [h, jnp.zeros((s_hi_pad - s_hi, _HIST_LO), jnp.float32)], 0)
+        out_ref[t] = h
+
+
+@functools.partial(jax.jit, static_argnames=("n", "hop", "sr", "rows",
+                                             "reach", "passes", "t_tile",
+                                             "row_chunk"))
+def fft4_hist(frames: jnp.ndarray,
+              logmap_a, logmap_b, power_floor, min_id, *,
+              n: int, hop: int, sr: float, rows: int, reach: int,
+              passes: int = 2, t_tile: int = 2, row_chunk: int = 8):
+    """Fully fused single-bank enhanced analysis + scatter: frames →
+    per-frame RELATIVE histograms, deposits never leaving VMEM.
+
+    frames: (B, n) float32 → (B, (2·reach+1)·rows) float32, bin
+    (δ + reach)·rows + row — exactly
+    ``histogram_matmul(*fft4_deposits(..., reach=R), P·rows)`` with the
+    ids/contrib HBM round trip, the standalone scatter kernel launch,
+    and its A/O builds replaced by an in-register column scatter (see
+    _tile_hist — the sublane-contraction that sidesteps the relayout).
+
+    min_id: dynamic streaming mask — contributions with packed id <
+    min_id are dropped (pass (R−t)·rows from the stream step;
+    batch callers pass −2³⁰ to keep everything).  f32-exact for every
+    value this pipeline can produce (|min_id| ≤ P·rows < 2²⁴).
+
+    Accumulation order differs from histogram_matmul (per-column chunks
+    instead of m-chunks), so parity is tolerance-level (≤2⁻¹⁶ relative,
+    same bf16-split error class) — the CPU bit-exact pin stays on the
+    unfused paths.
+    """
+    from emspec.dsp.fourstep import _FACTORS
+    from emspec.dsp.windows import time_weighted_hann
+
+    n1, n2 = _FACTORS[n]
+    k2_keep = n2 // 2 + 1
+    num_bins = (2 * reach + 1) * rows
+    s_hi = -(-num_bins // _HIST_LO)
+    s_hi_pad = -(-s_hi // 8) * 8                   # f32 sublane tile
+    b = frames.shape[0]
+    tt = min(t_tile, b)
+    b_pad = -(-b // tt) * tt
+    zr = frames.reshape(b, n1, n2)
+    if b_pad != b:
+        zr = jnp.pad(zr, ((0, b_pad - b), (0, 0), (0, 0)))
+    th = jnp.asarray(time_weighted_hann(n, np.float32)).reshape(n1, n2)
+    scal = jnp.stack([jnp.float32(logmap_a), jnp.float32(logmap_b),
+                      jnp.float32(power_floor),
+                      jnp.asarray(min_id, jnp.float32)])
+    half = n2 >= 256
+    n2h = n2 // 2
+    tables = _host_tables_half(n) if half else _host_tables(n)
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    frame_in = pl.BlockSpec((tt, n1, n2), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    hist_out = pl.BlockSpec((tt, s_hi_pad, _HIST_LO), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    step3_specs = ([const((n2, n2h)), const((n2, n2h)),
+                    const((n2, n2h)), const((n2, n2h)),
+                    const((1, n2)), const((1, n2))] if half else
+                   [const((n2, n2)), const((n2, n2)),
+                    const((n2, n2)), const((n2, n2))])
+    vmem_limit = (8 * tt * n1 * n2 * 4
+                  + 2 * (n1 * n1 * 2 * 2 + n2 * n2 * 2 * 2) + 2 * n1 * n2 * 4
+                  + 80 * n1 * n2 * 4
+                  + 8 * row_chunk * k2_keep * (_HIST_LO + 2 * passes * s_hi)
+                  + 8 * s_hi_pad * _HIST_LO + (8 << 20))
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel, t_tile=tt, n1=n1, n2=n2,
+                          hop=hop, sr=sr, rows=rows, half=half,
+                          reach=reach, s_hi=s_hi, s_hi_pad=s_hi_pad,
+                          passes=passes, row_chunk=row_chunk),
+        grid=(b_pad // tt,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  frame_in, const((n1, n2)),
+                  const((n1, n1)), const((n1, n1)),
+                  const((n1, n1)), const((n1, n1)),
+                  const((n1, n2)), const((n1, n2))] + step3_specs,
+        out_specs=hist_out,
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_hi_pad, _HIST_LO),
+                                       jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(2 * b_pad * 3 * 4 * n1 * n2 * (n1 + n2)
+                   + 2 * b_pad * n1 * k2_keep * (passes * s_hi + _HIST_LO)),
+            bytes_accessed=b_pad * (n1 * n2 + s_hi_pad * _HIST_LO) * 4,
+            transcendentals=b_pad * n1 * k2_keep,
+        ),
+    )(scal, zr, th, *tables)
+    return out.reshape(b_pad, s_hi_pad * _HIST_LO)[:b, :num_bins]
