@@ -451,12 +451,11 @@ class Pipeline:
         instead of the global (2R+1, rows) one sized by the longest
         bank.  Each bank picks pallas vs segment_sum by the same measured
         S = P_b·rows crossover as the global policy; at the default
-        multires config (rows 512, hop 128) the one P=129 scatter of
-        ~400 deposits/frame (measured ~4.5 ms device of a 5.7 ms call)
-        becomes: bank 512 → P=9 pallas (0.28 vs 2.5 ms), bank 2048 →
-        P=33 segment_sum (S=16896 just over the crossover; measured a
-        tie, 0.97 vs 0.98), bank 8192 → P=129, m=43 segment_sum
-        (0.45 vs 6.6 — small m, huge S is segment_sum territory).
+        multires config (rows 512, hop 128) with the round-3 |Δt| ≤ N/2
+        reaches: bank 512 → P=5 pallas, bank 2048 → P=17 (S=8704, now
+        under the crossover → pallas; at the round-2 P=33 it measured a
+        0.97 vs 0.98 tie), bank 8192 → P=65, m=43 segment_sum (small m,
+        huge S was 0.45 vs 6.6 segment_sum territory at P=129).
 
         TPU-only (the batch caller gates): per-bank summation reorders
         the f32 cell accumulation vs the global single segment_sum, which

@@ -181,7 +181,8 @@ def test_mixed_scatter_matches_global_segment_sum():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(pipe._scatter_mixed(banked, t, ()))
     # per-bank reaches really differ (the point of the decomposition)
-    assert {int(np.round(n / pipe.hop)) for n in pipe.sizes} != {pipe.reach}
+    assert ({int(np.round(n / (2.0 * pipe.hop))) for n in pipe.sizes}
+            != {pipe.reach})
     scale = max(want.max(), 1e-12)
     # pallas banks carry the 2-pass bf16-split bound (≤2⁻¹⁶ relative,
     # scatter.py) on top of f32 order differences
