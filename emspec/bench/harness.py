@@ -359,6 +359,12 @@ def run_benchmarks(quick: bool = False) -> dict:
         "4_stress_16ch_96k_32768": Settings(
             mode="enhanced", multires=False, fft_size=32768,
             sample_rate=96_000, channels=16),
+        # SURVEY §5.7 scaling extension ("32768 and beyond") — not a
+        # BASELINE.json config; the (256, 256) four-step factorization
+        # keeps the fused analysis kernel MXU-shaped at 65536.
+        "5_ext_65536_96k": Settings(
+            mode="enhanced", multires=False, fft_size=65536,
+            sample_rate=96_000),
     }
     for name, s in cfgs.items():
         report["configs"][name] = _throughput(s, secs, iters)

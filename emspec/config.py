@@ -29,7 +29,11 @@ from typing import Any
 
 # FFT sizes offered by the reference dropdown (reference: assets/settings.png
 # shows 4096 selected from a dropdown; north star requires 512..32768).
-FFT_SIZES = (512, 1024, 2048, 4096, 8192, 16384, 32768)
+# 65536 is the SURVEY §5.7 scaling extension ("32768 and beyond"): the
+# four-step factorization (256, 256) is MXU-shaped, so the fused TPU
+# analysis kernel covers it natively (validated on hardware like the
+# production sizes; tests/test_fidelity_sweep.py pins CPU fidelity).
+FFT_SIZES = (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
 
 # Analysis modes (reference: settings.png "Enhanced" / "Natural" buttons).
 MODE_ENHANCED = "enhanced"  # reassignment on  (README.md:11)

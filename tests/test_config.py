@@ -28,7 +28,8 @@ def test_defaults_match_reference_panel():
 
 
 def test_fft_size_envelope():
-    assert FFT_SIZES == (512, 1024, 2048, 4096, 8192, 16384, 32768)
+    # north-star 512–32768 + the §5.7 scaling extension 65536
+    assert FFT_SIZES == (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
     with pytest.raises(ValueError):
         Settings(fft_size=1000)
 

@@ -46,6 +46,8 @@ def test_fft4_deposits_mosaic_compile_parity_both_paths():
     from emspec.dsp.pallas.validate import validate_deposits
     validate_deposits(8192)
     validate_deposits(32768)
+    # the §5.7 scaling extension: 65536 = (256, 256), half-spectrum path
+    validate_deposits(65536)
 
 
 def test_pipeline_scatter_backends_agree_on_tpu():
