@@ -513,19 +513,19 @@ class Pipeline:
                                     passes=self.settings.scatter_passes)
         hist = hist.reshape(hist.shape[:-1] + (P, self.rows))  # (..., t, P, rows)
         hist = jnp.moveaxis(hist, -3, 0)                       # (t, ..., P, rows)
-        out = jnp.zeros((t_count,) + hist.shape[1:-2] + (self.rows,), jnp.float32)
-        for j in range(P):                                     # static offsets
-            dlt = j - R
-            seg = hist[..., j, :]                              # (t, ..., rows)
-            # overlap of [dlt, dlt+t) with [0, t): empty when |dlt| >= t
-            # (short signals with t_count <= R — clamp, don't crash)
-            span = t_count - abs(dlt)
-            if span <= 0:
-                continue
-            if dlt >= 0:
-                out = out.at[dlt:dlt + span].add(seg[:span])
-            else:
-                out = out.at[:span].add(seg[-dlt:-dlt + span])
+        # Fold out[u] = Σ_j hist[u-(j-R), j]: zero-pad t by R on both
+        # sides once, then ONE fused elementwise sum of P static slices.
+        # The previous P sequential ``out.at[slice].add`` passes each
+        # re-read and re-wrote the whole (t, rows) output — ~3·P·t·rows·4
+        # bytes of HBM traffic vs one read of hist + one write of out
+        # here; measured 1.63×/1.39× on the multires 2048/512 banks and
+        # BIT-exact (same values added in the same j order per cell;
+        # bench_probes/scatter_variants_ab.py).  Out-of-range targets
+        # fall in the zero padding, which also covers t_count ≤ R.
+        pad = [(R, R)] + [(0, 0)] * (hist.ndim - 1)
+        hp = jnp.pad(hist, pad)                                # (t+2R, ...)
+        out = sum(hp[2 * R - j:2 * R - j + t_count, ..., j, :]
+                  for j in range(P))
         return jnp.moveaxis(out, 0, -2)                        # (..., t, rows)
 
     # ---------------- full batch path ----------------
