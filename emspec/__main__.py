@@ -178,13 +178,23 @@ def cmd_presets(args) -> int:
 
 
 def cmd_gui(args) -> int:
-    """Window-shell analog: serve the live display + settings panel on a
-    local web page (reference README.md:13,35-39; degrade to ``emspec
-    live`` in terminals — the raster boundary is the same)."""
+    """Window shell: ``--native`` opens a real frameless always-on-top
+    desktop window (tkinter); default serves the live display + settings
+    panel on a local web page (reference README.md:13,35-39; degrade to
+    ``emspec live`` in terminals — the raster boundary is the same)."""
     from emspec.shell import ShellServer
 
     source = "wav" if args.input else args.backend
     s = _settings_from(args, args.sample_rate, multires_default=True)
+    if args.native:
+        from emspec.shell.native import NativeUnavailable, run_native
+        try:
+            run_native(s, source=source, wav_path=args.input,
+                       user_dir=args.user_dir)
+            return 0
+        except NativeUnavailable as e:
+            print(f"native window unavailable ({e}); "
+                  f"falling back to the web shell", file=sys.stderr)
     srv = ShellServer(s, port=args.port, source=source, wav_path=args.input,
                       user_dir=args.user_dir)
     print(f"emspec shell: http://127.0.0.1:{srv.port}/  "
@@ -295,6 +305,10 @@ def main(argv=None) -> int:
     pg.add_argument("--sample-rate", type=int, default=48_000)
     pg.add_argument("--user-dir", default=".emspec",
                     help="presets + live_state.json directory")
+    pg.add_argument("--native", action="store_true",
+                    help="open a real frameless always-on-top desktop "
+                         "window (tkinter) instead of the web page; "
+                         "falls back to the web shell when headless")
     _add_settings_args(pg)
     pg.set_defaults(fn=cmd_gui)
 

@@ -46,10 +46,17 @@ class EmSpecApp:
                                    self.settings.raster_height,
                                    self.settings.scroll_speed,
                                    lut_table=lut(self.settings.colormap))
+        # optional window-shell hooks: a native window registers these to
+        # mirror Ableton's Info View with a real minimize/restore
+        # (docs/MAX-FOR-LIVE.md); the stream pause/resume happens first
+        # either way.  Bound handlers late-bind self.stream, so structural
+        # swaps need no watcher rebinding.
+        self.on_minimized = None
+        self.on_restored = None
         self.watcher = LiveStateWatcher(
             self.user_dir / "live_state.json",
-            on_minimized=self.stream.pause,
-            on_restored=self.stream.resume)
+            on_minimized=self._handle_minimized,
+            on_restored=self._handle_restored)
         self._warm_future = None
         if prewarm_sizes:
             from emspec.pipeline import prewarm
@@ -77,6 +84,17 @@ class EmSpecApp:
         """(rows, width, 4) uint8 — what a window would blit."""
         return self.waterfall.image()
 
+    # ------------------------------------------------------- window mirror
+    def _handle_minimized(self) -> None:
+        self.stream.pause()
+        if self.on_minimized is not None:
+            self.on_minimized()
+
+    def _handle_restored(self) -> None:
+        self.stream.resume()
+        if self.on_restored is not None:
+            self.on_restored()
+
     # ------------------------------------------------------------- settings
     def apply_settings(self, new: Settings) -> str:
         """Apply a settings change the way the reference panel does
@@ -92,8 +110,6 @@ class EmSpecApp:
             self.stream = Stream(new)
             if was_paused:
                 self.stream.pause()
-            self.watcher.on_minimized = self.stream.pause
-            self.watcher.on_restored = self.stream.resume
             if (new.raster_width != old.raster_width
                     or new.raster_height != old.raster_height):
                 self.waterfall = Waterfall(new.raster_width, new.raster_height,

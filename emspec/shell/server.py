@@ -47,10 +47,9 @@ class ShellServer:
         # columns landed; /api/stream connections wait on the condition
         self._frame_seq = 0
         self._frame_cv = threading.Condition()
-        self._source_kind = source
-        self._wav_path = wav_path
-        self._capture = None
-        self._feeder = None
+        from emspec.shell.feed import AudioFeeder
+        self.feeder = AudioFeeder(self.app, source=source, wav_path=wav_path,
+                                  lock=self.lock)
         self._worker = None
         # async update check on startup, notice surfaced in the settings
         # window header (reference README.md:53-55; offline-safe — no
@@ -62,70 +61,6 @@ class ShellServer:
         self.port = self.httpd.server_address[1]
 
     # --------------------------------------------------------------- feeding
-    def _ring_push(self, chunk: np.ndarray) -> None:
-        # the app's stream is swapped on structural changes; resolve at
-        # call time and ADAPT the chunk's channel count so a running
-        # capture source survives a /api/settings channels change (a
-        # shape mismatch would kill the producer thread silently)
-        st = self.app.stream
-        if st.channels == 1:
-            if chunk.ndim == 2:
-                chunk = chunk[0]
-        else:
-            if chunk.ndim == 1:
-                chunk = chunk[None]
-            have = chunk.shape[0]
-            if have > st.channels:
-                chunk = chunk[:st.channels]
-            elif have < st.channels:
-                reps = -(-st.channels // have)
-                chunk = np.tile(chunk, (reps, 1))[:st.channels]
-        st.ring.push(chunk)
-
-    def _start_feeder(self) -> None:
-        if self._source_kind == "wav":
-            x_all, rate = self._load_wav()
-
-            def run():
-                pos = 0
-                block = max(rate // 50, 256)
-                t0 = time.perf_counter()
-                sent = 0
-                total = x_all.shape[-1]
-                while not self._stop.is_set():
-                    # wrap-around take of exactly `block` samples: files
-                    # shorter than a block still loop (and still pace —
-                    # a short-file reset must never busy-spin)
-                    idx = (pos + np.arange(block)) % total
-                    chunk = np.ascontiguousarray(x_all[..., idx])
-                    self._ring_push(chunk)
-                    pos = (pos + block) % total
-                    sent += block
-                    delay = t0 + sent / rate - time.perf_counter()
-                    if delay > 0:
-                        time.sleep(delay)
-            self._feeder = threading.Thread(target=run, daemon=True)
-            self._feeder.start()
-        else:
-            from emspec.io.capture import open_capture
-            s = self.app.settings
-            self._capture = open_capture(
-                self._ring_push, backend=self._source_kind,
-                sample_rate=s.sample_rate, channels=s.channels)
-            self._capture.start()
-
-    def _load_wav(self):
-        from emspec.io.wav import read_wav
-        audio, rate = read_wav(self._wav_path)
-        s = self.app.settings
-        if rate != s.sample_rate or audio.shape[0] != s.channels:
-            with self.lock:
-                self.app.apply_settings(s.replace(
-                    sample_rate=rate, channels=audio.shape[0],
-                    display_channel=min(s.display_channel,
-                                        audio.shape[0] - 1)))
-        return audio.astype(np.float32), rate
-
     def _drain_loop(self) -> None:
         while not self._stop.is_set():
             with self.lock:
@@ -141,15 +76,14 @@ class ShellServer:
 
     # --------------------------------------------------------------- control
     def start(self) -> None:
-        self._start_feeder()
+        self.feeder.start()
         self._worker = threading.Thread(target=self._drain_loop, daemon=True)
         self._worker.start()
         threading.Thread(target=self.httpd.serve_forever, daemon=True).start()
 
     def stop(self) -> None:
         self._stop.set()
-        if self._capture is not None:
-            self._capture.stop()
+        self.feeder.stop()
         self.httpd.shutdown()
         self.httpd.server_close()
 
