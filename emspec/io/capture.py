@@ -12,7 +12,11 @@ at real-time rate from its own thread.  Two backends:
   CLI and tests skip cleanly without it).  Loopback/monitor inputs (the
   OS *output* tap — what the reference actually visualizes) are
   preferred over microphones where the host API exposes them;
-  ``--device`` overrides.
+  ``--device`` overrides.  A hardware rate that differs from the
+  pipeline's structural ``sample_rate`` (44.1 kHz consumer devices into
+  a 48 kHz pipeline) is adapted in the callback by a streaming polyphase
+  resampler (``emspec/io/resample.py``) instead of recompiling the
+  pipeline.
 * ``synthetic`` — a thread that synthesizes a glide-plus-partials test
   signal and delivers it in capture-callback-sized blocks *paced to the
   sample clock*.  This is not just a test double: it exercises the exact
@@ -158,15 +162,51 @@ class SoundDeviceCapture:
                 device, self.device_name = found
                 self.is_loopback = True
         self.device = device
+        self.device_rate: int | None = None    # set by start()
+        self._resampler = None
         self._stream = None
+
+    def _pick_device_rate(self) -> int:
+        """Open at the pipeline rate when the hardware supports it, else
+        at the device's native rate with a streaming resampler in the
+        callback.  The pipeline rate is a structural (recompiling)
+        setting — adapting the audio to the pipeline, not the pipeline to
+        the device, keeps the capture-rate question out of the jit
+        cache."""
+        sd = self._sd
+        try:
+            sd.check_input_settings(device=self.device,
+                                    samplerate=self.sample_rate,
+                                    channels=self.channels)
+            return self.sample_rate
+        except Exception:
+            pass
+        try:
+            info = sd.query_devices(self.device, "input")
+            native = int(round(float(info["default_samplerate"])))
+            if native > 0:
+                return native
+        except Exception:
+            pass
+        return self.sample_rate        # let InputStream surface the error
 
     def _callback(self, indata, frames, time_info, status) -> None:
         # indata: (frames, channels) float32 → (channels, frames)
-        self.sink(np.ascontiguousarray(indata.T, dtype=np.float32))
+        chunk = np.ascontiguousarray(indata.T, dtype=np.float32)
+        if self._resampler is not None:
+            chunk = self._resampler.process(chunk)
+            if chunk.shape[-1] == 0:
+                return
+        self.sink(chunk)
 
     def start(self) -> None:
+        self.device_rate = self._pick_device_rate()
+        if self.device_rate != self.sample_rate:
+            from emspec.io.resample import StreamingResampler
+            self._resampler = StreamingResampler(self.device_rate,
+                                                 self.sample_rate)
         self._stream = self._sd.InputStream(
-            samplerate=self.sample_rate, channels=self.channels,
+            samplerate=self.device_rate, channels=self.channels,
             blocksize=self.block, dtype="float32", device=self.device,
             callback=self._callback)
         self._stream.start()
