@@ -186,17 +186,21 @@ def cmd_gui(args) -> int:
 
     source = "wav" if args.input else args.backend
     s = _settings_from(args, args.sample_rate, multires_default=True)
+    # pre-compile the FFT-size dropdown in the background so flipping it
+    # in the panel never stalls the display (SURVEY.md §7 hard part 3)
+    from emspec.config import FFT_SIZES
+    warm = FFT_SIZES if not args.no_prewarm else None
     if args.native:
         from emspec.shell.native import NativeUnavailable, run_native
         try:
             run_native(s, source=source, wav_path=args.input,
-                       user_dir=args.user_dir)
+                       user_dir=args.user_dir, prewarm_sizes=warm)
             return 0
         except NativeUnavailable as e:
             print(f"native window unavailable ({e}); "
                   f"falling back to the web shell", file=sys.stderr)
     srv = ShellServer(s, port=args.port, source=source, wav_path=args.input,
-                      user_dir=args.user_dir)
+                      user_dir=args.user_dir, prewarm_sizes=warm)
     print(f"emspec shell: http://127.0.0.1:{srv.port}/  "
           f"(source={source}, Ctrl-C to quit)")
     srv.serve_forever(duration=args.duration)
@@ -309,6 +313,10 @@ def main(argv=None) -> int:
                     help="open a real frameless always-on-top desktop "
                          "window (tkinter) instead of the web page; "
                          "falls back to the web shell when headless")
+    pg.add_argument("--no-prewarm", action="store_true",
+                    help="skip background pre-compilation of the FFT-size "
+                         "dropdown (saves memory; size changes will stall "
+                         "while compiling)")
     _add_settings_args(pg)
     pg.set_defaults(fn=cmd_gui)
 

@@ -84,6 +84,14 @@ class EmSpecApp:
         """(rows, width, 4) uint8 — what a window would blit."""
         return self.waterfall.image()
 
+    # ------------------------------------------------------------ shutdown
+    def close(self) -> None:
+        """Abandon background work (queued prewarm compiles) so process
+        exit isn't held hostage by the rest of the FFT-size dropdown."""
+        if self._warm_future is not None:
+            self._warm_future.cancel()
+            self._warm_future = None
+
     # ------------------------------------------------------- window mirror
     def _handle_minimized(self) -> None:
         self.stream.pause()

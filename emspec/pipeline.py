@@ -714,6 +714,32 @@ def get_pipeline(settings: Settings) -> Pipeline:
     return _cached_pipeline(_structural_projection(settings))
 
 
+class WarmHandle:
+    """Handle over the queued per-variant warm jobs.  ``cancel()`` drops
+    every variant that hasn't started compiling yet — an app quitting
+    mid-warm must not hang interpreter exit behind the rest of the
+    dropdown (one in-flight compile still finishes; the executor's
+    atexit join waits only for that)."""
+
+    def __init__(self, futures):
+        self.futures = list(futures)
+
+    def result(self, timeout: float | None = None):
+        import time as _time
+        deadline = None if timeout is None else _time.monotonic() + timeout
+        for f in self.futures:
+            left = (None if deadline is None
+                    else max(0.0, deadline - _time.monotonic()))
+            f.result(left)
+
+    def done(self) -> bool:
+        return all(f.done() for f in self.futures)
+
+    def cancel(self) -> None:
+        for f in self.futures:
+            f.cancel()
+
+
 def prewarm(base: Settings, sizes: tuple | None = None,
             background: bool = True):
     """Pre-compile the streaming step for every FFT size in the dropdown so
@@ -721,27 +747,30 @@ def prewarm(base: Settings, sizes: tuple | None = None,
     §3.3: structural changes re-specialize).
 
     Warms the single-bank variant for each ``size`` plus the multires
-    variant once.  Returns a ``concurrent.futures.Future`` (or None when
-    ``background=False`` and warming ran inline).
+    variant once.  Returns a :class:`WarmHandle` (or None when
+    ``background=False`` and warming ran inline).  Each variant is its
+    own queued job so ``WarmHandle.cancel()`` can abandon the un-started
+    remainder when the app shuts down mid-warm.
     """
     from emspec.config import FFT_SIZES
 
     sizes = sizes or FFT_SIZES
+    variants = [base.replace(multires=False, fft_size=n) for n in sizes]
+    if base.multires:
+        variants.append(base)
 
-    def _warm():
-        variants = [base.replace(multires=False, fft_size=n) for n in sizes]
-        if base.multires:
-            variants.append(base)
-        for s in variants:
-            pipe = get_pipeline(s)
-            lead = (s.channels,) if s.channels > 1 else ()
-            carry = pipe.init_stream_carry(lead)
-            window = jnp.zeros(lead + (pipe.n_max,), jnp.float32)
-            jax.block_until_ready(pipe._stream_jit(carry, window, pipe.params()))
+    def _warm_one(s: Settings) -> None:
+        pipe = get_pipeline(s)
+        lead = (s.channels,) if s.channels > 1 else ()
+        carry = pipe.init_stream_carry(lead)
+        window = jnp.zeros(lead + (pipe.n_max,), jnp.float32)
+        jax.block_until_ready(pipe._stream_jit(carry, window, pipe.params()))
 
     if background:
-        return _warm_pool().submit(_warm)
-    _warm()
+        pool = _warm_pool()
+        return WarmHandle([pool.submit(_warm_one, s) for s in variants])
+    for s in variants:
+        _warm_one(s)
     return None
 
 

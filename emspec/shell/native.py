@@ -172,6 +172,7 @@ class NativeWindow:
         if self._closed:
             return
         self._closed = True
+        self.app.close()      # abandon queued prewarm compiles
         if self.feeder is not None:
             self.feeder.stop()
         self.root.destroy()
@@ -184,7 +185,8 @@ class NativeWindow:
 
 
 def run_native(settings=None, source: str = "auto",
-               wav_path: str | None = None, user_dir: str = ".emspec"):
+               wav_path: str | None = None, user_dir: str = ".emspec",
+               prewarm_sizes: tuple | None = None):
     """``emspec gui --native`` entry: build app + feeder + window and run
     the Tk loop.  Raises ``NativeUnavailable`` when Tk cannot open a
     display so the CLI can fall back to the web shell."""
@@ -192,7 +194,8 @@ def run_native(settings=None, source: str = "auto",
     from emspec.app import EmSpecApp
     from emspec.shell.feed import AudioFeeder
 
-    app = EmSpecApp(settings, user_dir=user_dir)
+    app = EmSpecApp(settings, user_dir=user_dir,
+                    prewarm_sizes=prewarm_sizes)
     feeder = AudioFeeder(app, source=source, wav_path=wav_path)
     try:
         win = NativeWindow(app, tk=tkinter, feeder=feeder)

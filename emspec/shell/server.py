@@ -39,8 +39,14 @@ class ShellServer:
 
     def __init__(self, settings: Settings | None = None, port: int = 0,
                  source: str = "auto", wav_path: str | None = None,
-                 user_dir: str = ".emspec"):
-        self.app = EmSpecApp(settings, user_dir=user_dir)
+                 user_dir: str = ".emspec",
+                 prewarm_sizes: tuple | None = None):
+        # prewarm_sizes: pre-compile the FFT-size dropdown in a background
+        # worker so a structural settings change never stalls the live
+        # display (SURVEY.md §7 hard part 3); the CLI passes the full
+        # dropdown, tests keep it off
+        self.app = EmSpecApp(settings, user_dir=user_dir,
+                             prewarm_sizes=prewarm_sizes)
         self.lock = threading.RLock()
         self._stop = threading.Event()
         # frame push: the drain worker bumps the sequence whenever new
@@ -83,7 +89,14 @@ class ShellServer:
 
     def stop(self) -> None:
         self._stop.set()
+        self.app.close()      # abandon queued prewarm compiles
         self.feeder.stop()
+        if self._worker is not None:
+            # join the drain worker: a daemon thread mid-JAX-dispatch at
+            # interpreter teardown segfaults in XLA's C++ destructors
+            # (reproduced: `emspec gui --duration 1` exited rc=139)
+            self._worker.join(timeout=5.0)
+            self._worker = None
         self.httpd.shutdown()
         self.httpd.server_close()
 

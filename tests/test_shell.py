@@ -200,3 +200,24 @@ def test_m4l_minimize_restore_pauses_shell(shell, tmp_path):
             break
         time.sleep(0.05)
     assert not json.loads(_get(shell, "/api/state"))["paused"]
+
+
+def test_shell_prewarms_fft_dropdown(tmp_path):
+    """The CLI shell pre-compiles the FFT-size dropdown in the background
+    (SURVEY §7 hard part 3) so a structural size switch hits the pipeline
+    cache instead of stalling the display on a fresh compile."""
+    from emspec.pipeline import _cached_pipeline
+
+    s = Settings(mode="natural", multires=False, fft_size=1024,
+                 raster_height=128, raster_width=256, hop=256)
+    srv = ShellServer(s, port=0, source="synthetic",
+                      user_dir=tmp_path / "userdir", prewarm_sizes=(512,))
+    srv.start()         # stop() blocks unless serve_forever is running
+    try:
+        assert srv.app._warm_future is not None
+        srv.app._warm_future.result(timeout=180)   # warm finished
+        before = _cached_pipeline.cache_info().hits
+        assert srv.app.set(fft_size=512) == "structural"
+        assert _cached_pipeline.cache_info().hits > before
+    finally:
+        srv.stop()
