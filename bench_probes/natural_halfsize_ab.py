@@ -8,7 +8,8 @@ Hermitian untwist.  Decision rule (BENCH.md opt-log 9 discipline):
 adopt only if >=1.3x end-to-end on the natural config, else record the
 one-line negative result.
 
-Run: PYTHONPATH=/root/repo:$PYTHONPATH python bench_probes/natural_halfsize_ab.py
+Run from /root/repo (never via PYTHONPATH — it breaks the axon backend
+registration, CLAUDE.md gotchas): python bench_probes/natural_halfsize_ab.py
 """
 
 import numpy as np

@@ -135,9 +135,10 @@ def stage_costs(pipe) -> dict:
     return stages
 
 
-def estimate_column_cost(pipe) -> dict:
+def estimate_column_cost(pipe, stages: dict | None = None) -> dict:
     """Summed FLOPs + HBM bytes per emitted display column."""
-    stages = stage_costs(pipe)
+    if stages is None:
+        stages = stage_costs(pipe)
     flops = sum(st["flops"] for st in stages.values())
     bytes_ = sum(st["bytes"] for st in stages.values())
     m_total = sum(k_hi - k_lo for (k_lo, k_hi) in pipe.k_slices)
@@ -148,7 +149,8 @@ def estimate_column_cost(pipe) -> dict:
 def roofline_report(pipe, cols_per_sec: float) -> dict:
     """Achieved rates + % of v5e peaks for a measured throughput, with
     per-stage estimates labeled by validation status."""
-    est = estimate_column_cost(pipe)
+    stages = stage_costs(pipe)           # once: headline sums and the
+    est = estimate_column_cost(pipe, stages)   # breakdown always reconcile
     tflops = est["flops_per_col"] * cols_per_sec / 1e12
     gbs = est["bytes_per_col"] * cols_per_sec / 1e9
     return {
@@ -165,6 +167,6 @@ def roofline_report(pipe, cols_per_sec: float) -> dict:
             name: {"mflop_per_col": round(st["flops"] / 1e6, 3),
                    "kb_per_col": round(st["bytes"] / 1e3, 2),
                    "validation": st["validation"]}
-            for name, st in stage_costs(pipe).items()
+            for name, st in stages.items()
         },
     }

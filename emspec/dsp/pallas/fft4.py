@@ -249,93 +249,92 @@ def _frame_quantized(fr, th, tables, *, n1: int, n2: int, hop: int,
     lives here exactly once for both)."""
     n = n1 * n2
     k2_keep = n2 // 2 + 1
-    if True:
-        # two REAL-input transforms (raw and t·h·frames, the window
-        # applied in VMEM from the resident table).  No complex packing:
-        # Mosaic has no `rev` primitive, so the Hermitian unpack's
-        # reflection is unavailable in-kernel — and with full-range real
-        # spectra there is nothing to unpack (A(N−k) = conj(A(k)) holds
-        # identically; neighbors are plain wrapped shifts).  Costs +50%
-        # MXU dots vs the packed transform, buys back the whole
-        # unpack+stencil+corrections HBM round-trip.
-        if half:
-            # half-spectrum chains: k2 ∈ [0, n2/2] only (n1, k2_keep)
-            Ar, Ai = _fft4_frame_real_half(fr, tables)
-            Br, Bi = _fft4_frame_real_half(fr * th, tables)
-            # neighbors A((k∓1) mod N) on the half block: interior
-            # shifts are identical to the full-range case; the two
-            # seam elements that used to be literal reads from the
-            # discarded half come from Hermitian conjugation instead —
-            # A(N−1) = conj(A(1)) for the k = 0 predecessor, and
-            # A(n1·n2/2 + n1) = conj(A(N − that)) for the successor of
-            # the (k1 = n1−1, k2 = n2/2) corner (a masked duplicate
-            # bin; kept finite and faithful).  Same tolerance class as
-            # the engine's own table rounding (see docstring).
-            # (Mosaic rejects concats of slices taken from different
-            # sublane offsets, so each wrap row is a same-row roll with
-            # the seam element patched in via scalar extract + lane mask.)
-            k2w = Ar.shape[1]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, k2w), 1)
-            def prev_k_pair(Mr, Mi):
-                rr = jnp.concatenate([Mr[-1:, -1:], Mr[-1:, :-1]], 1)
-                ri = jnp.concatenate([Mi[-1:, -1:], Mi[-1:, :-1]], 1)
-                wr = jnp.where(lane == 0, Mr[1, 0], rr)
-                wi = jnp.where(lane == 0, -Mi[1, 0], ri)
-                return (jnp.concatenate([wr, Mr[:-1, :]], 0),
-                        jnp.concatenate([wi, Mi[:-1, :]], 0))
-            def next_k_pair(Mr, Mi):
-                rr = jnp.concatenate([Mr[:1, 1:], Mr[:1, :1]], 1)
-                ri = jnp.concatenate([Mi[:1, 1:], Mi[:1, :1]], 1)
-                wr = jnp.where(lane == k2w - 1, Mr[0, k2w - 2], rr)
-                wi = jnp.where(lane == k2w - 1, -Mi[0, k2w - 2], ri)
-                return (jnp.concatenate([Mr[1:, :], wr], 0),
-                        jnp.concatenate([Mi[1:, :], wi], 0))
-            Am1r, Am1i = prev_k_pair(Ar, Ai)
-            Ap1r, Ap1i = next_k_pair(Ar, Ai)
-        else:
-            Ar, Ai = _fft4_frame_real(fr, tables)          # raw spectrum
-            Br, Bi = _fft4_frame_real(fr * th, tables)     # t·h spectrum
-            # neighbors A((k∓1) mod N) — shifts along k1 with a k2 carry row
-            def prev_k(M):
-                wrap = jnp.concatenate([M[-1:, -1:], M[-1:, :-1]], 1)
-                return jnp.concatenate([wrap, M[:-1, :]], 0)
-            def next_k(M):
-                wrap = jnp.concatenate([M[:1, 1:], M[:1, :1]], 1)
-                return jnp.concatenate([M[1:, :], wrap], 0)
-            Am1r, Am1i = prev_k(Ar), prev_k(Ai)
-            Ap1r, Ap1i = next_k(Ar), next_k(Ai)
-        # periodic-Hann stencils (DESIGN.md §3)
-        Xhr = 0.5 * Ar - 0.25 * (Am1r + Ap1r)
-        Xhi = 0.5 * Ai - 0.25 * (Am1i + Ap1i)
-        c = jnp.float32(0.5 * np.pi / n)       # X_dh = (−iπ/2n)(Am1 − Ap1)
-        Xdr = c * (Am1i - Ap1i)
-        Xdi = -c * (Am1r - Ap1r)
-        # Auger–Flandrin corrections (emspec.dsp.reassign)
-        power = Xhr * Xhr + Xhi * Xhi
-        inv = 1.0 / jnp.maximum(power, 1e-30)
-        dt = (Br * Xhr + Bi * Xhi) * inv
-        dw = -(Xdi * Xhr - Xdr * Xhi) * inv
-        # display-grid quantization (pipeline._deposits contract)
-        power = power[:, :k2_keep]
-        dt = dt[:, :k2_keep]
-        dw = dw[:, :k2_keep]
-        f_hat = (kg + dw * jnp.float32(n / (2.0 * np.pi))) * jnp.float32(sr / n)
-        # same expression as pipeline._deposits / the oracle: round(Δt/hop)
-        # as a DIVISION — a reciprocal-multiply differs by an ulp near
-        # half-hop ties for non-power-of-two hops (quantization contract,
-        # CLAUDE.md invariants)
-        delta = jnp.round(dt / jnp.float32(hop)).astype(jnp.int32)
-        row_f = (jnp.log2(jnp.maximum(f_hat, 1e-6)) - logmap_a) * logmap_b
-        row = jnp.round(row_f).astype(jnp.int32)
-        valid = ((power > power_floor)
-                 & (row >= 0) & (row < rows)
-                 & (f_hat > 0)
-                 & (jnp.abs(dt) <= jnp.float32(n) * 0.5)
-                 & k_valid)
-        row_c = jnp.clip(row, 0, rows - 1)
-        contrib = jnp.where(
-            valid, power * jnp.float32(1.0 / (float(n) * float(n))), 0.0)
-        return row_c, delta, contrib
+    # two REAL-input transforms (raw and t·h·frames, the window
+    # applied in VMEM from the resident table).  No complex packing:
+    # Mosaic has no `rev` primitive, so the Hermitian unpack's
+    # reflection is unavailable in-kernel — and with full-range real
+    # spectra there is nothing to unpack (A(N−k) = conj(A(k)) holds
+    # identically; neighbors are plain wrapped shifts).  Costs +50%
+    # MXU dots vs the packed transform, buys back the whole
+    # unpack+stencil+corrections HBM round-trip.
+    if half:
+        # half-spectrum chains: k2 ∈ [0, n2/2] only (n1, k2_keep)
+        Ar, Ai = _fft4_frame_real_half(fr, tables)
+        Br, Bi = _fft4_frame_real_half(fr * th, tables)
+        # neighbors A((k∓1) mod N) on the half block: interior
+        # shifts are identical to the full-range case; the two
+        # seam elements that used to be literal reads from the
+        # discarded half come from Hermitian conjugation instead —
+        # A(N−1) = conj(A(1)) for the k = 0 predecessor, and
+        # A(n1·n2/2 + n1) = conj(A(N − that)) for the successor of
+        # the (k1 = n1−1, k2 = n2/2) corner (a masked duplicate
+        # bin; kept finite and faithful).  Same tolerance class as
+        # the engine's own table rounding (see docstring).
+        # (Mosaic rejects concats of slices taken from different
+        # sublane offsets, so each wrap row is a same-row roll with
+        # the seam element patched in via scalar extract + lane mask.)
+        k2w = Ar.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, k2w), 1)
+        def prev_k_pair(Mr, Mi):
+            rr = jnp.concatenate([Mr[-1:, -1:], Mr[-1:, :-1]], 1)
+            ri = jnp.concatenate([Mi[-1:, -1:], Mi[-1:, :-1]], 1)
+            wr = jnp.where(lane == 0, Mr[1, 0], rr)
+            wi = jnp.where(lane == 0, -Mi[1, 0], ri)
+            return (jnp.concatenate([wr, Mr[:-1, :]], 0),
+                    jnp.concatenate([wi, Mi[:-1, :]], 0))
+        def next_k_pair(Mr, Mi):
+            rr = jnp.concatenate([Mr[:1, 1:], Mr[:1, :1]], 1)
+            ri = jnp.concatenate([Mi[:1, 1:], Mi[:1, :1]], 1)
+            wr = jnp.where(lane == k2w - 1, Mr[0, k2w - 2], rr)
+            wi = jnp.where(lane == k2w - 1, -Mi[0, k2w - 2], ri)
+            return (jnp.concatenate([Mr[1:, :], wr], 0),
+                    jnp.concatenate([Mi[1:, :], wi], 0))
+        Am1r, Am1i = prev_k_pair(Ar, Ai)
+        Ap1r, Ap1i = next_k_pair(Ar, Ai)
+    else:
+        Ar, Ai = _fft4_frame_real(fr, tables)          # raw spectrum
+        Br, Bi = _fft4_frame_real(fr * th, tables)     # t·h spectrum
+        # neighbors A((k∓1) mod N) — shifts along k1 with a k2 carry row
+        def prev_k(M):
+            wrap = jnp.concatenate([M[-1:, -1:], M[-1:, :-1]], 1)
+            return jnp.concatenate([wrap, M[:-1, :]], 0)
+        def next_k(M):
+            wrap = jnp.concatenate([M[:1, 1:], M[:1, :1]], 1)
+            return jnp.concatenate([M[1:, :], wrap], 0)
+        Am1r, Am1i = prev_k(Ar), prev_k(Ai)
+        Ap1r, Ap1i = next_k(Ar), next_k(Ai)
+    # periodic-Hann stencils (DESIGN.md §3)
+    Xhr = 0.5 * Ar - 0.25 * (Am1r + Ap1r)
+    Xhi = 0.5 * Ai - 0.25 * (Am1i + Ap1i)
+    c = jnp.float32(0.5 * np.pi / n)       # X_dh = (−iπ/2n)(Am1 − Ap1)
+    Xdr = c * (Am1i - Ap1i)
+    Xdi = -c * (Am1r - Ap1r)
+    # Auger–Flandrin corrections (emspec.dsp.reassign)
+    power = Xhr * Xhr + Xhi * Xhi
+    inv = 1.0 / jnp.maximum(power, 1e-30)
+    dt = (Br * Xhr + Bi * Xhi) * inv
+    dw = -(Xdi * Xhr - Xdr * Xhi) * inv
+    # display-grid quantization (pipeline._deposits contract)
+    power = power[:, :k2_keep]
+    dt = dt[:, :k2_keep]
+    dw = dw[:, :k2_keep]
+    f_hat = (kg + dw * jnp.float32(n / (2.0 * np.pi))) * jnp.float32(sr / n)
+    # same expression as pipeline._deposits / the oracle: round(Δt/hop)
+    # as a DIVISION — a reciprocal-multiply differs by an ulp near
+    # half-hop ties for non-power-of-two hops (quantization contract,
+    # CLAUDE.md invariants)
+    delta = jnp.round(dt / jnp.float32(hop)).astype(jnp.int32)
+    row_f = (jnp.log2(jnp.maximum(f_hat, 1e-6)) - logmap_a) * logmap_b
+    row = jnp.round(row_f).astype(jnp.int32)
+    valid = ((power > power_floor)
+             & (row >= 0) & (row < rows)
+             & (f_hat > 0)
+             & (jnp.abs(dt) <= jnp.float32(n) * 0.5)
+             & k_valid)
+    row_c = jnp.clip(row, 0, rows - 1)
+    contrib = jnp.where(
+        valid, power * jnp.float32(1.0 / (float(n) * float(n))), 0.0)
+    return row_c, delta, contrib
 
 
 def _iota_grids(n1: int, n2: int):

@@ -103,13 +103,15 @@ class SyntheticCapture:
             self._thread.join(timeout=2.0)
 
 
-def find_loopback_device(sd) -> tuple[int, str] | None:
+def find_loopback_device(sd, channels: int = 1) -> tuple[int, str] | None:
     """Locate an OS *output* tap among PortAudio's input devices.
 
     The reference visualizes **system audio** (README.md:36), not a
     microphone.  Where the host API exposes the output as a capturable
     input — PulseAudio/PipeWire "Monitor of …" / "….monitor" sources,
-    WASAPI "… [Loopback]" endpoints — prefer it.  Returns
+    WASAPI "… [Loopback]" endpoints — prefer it.  Only sources that can
+    supply the requested ``channels`` qualify (a 1-channel monitor must
+    not shadow the default input for a stereo capture).  Returns
     ``(device_index, device_name)`` or None when the platform exposes no
     loopback path (then the default input is the honest fallback)."""
     try:
@@ -119,7 +121,7 @@ def find_loopback_device(sd) -> tuple[int, str] | None:
     for i, d in enumerate(devices):
         try:
             name = str(d["name"])
-            if int(d["max_input_channels"]) <= 0:
+            if int(d["max_input_channels"]) < max(1, int(channels)):
                 continue
         except (KeyError, TypeError, ValueError):
             continue
@@ -156,11 +158,13 @@ class SoundDeviceCapture:
         self.block = int(block)
         self.device_name: str | None = None
         self.is_loopback = False
+        self._auto_loopback = False     # we picked it — allowed to back out
         if device is None and prefer_loopback:
-            found = find_loopback_device(sd)
+            found = find_loopback_device(sd, self.channels)
             if found is not None:
                 device, self.device_name = found
                 self.is_loopback = True
+                self._auto_loopback = True
         self.device = device
         self.device_rate: int | None = None    # set by start()
         self._resampler = None
@@ -199,8 +203,9 @@ class SoundDeviceCapture:
                 return
         self.sink(chunk)
 
-    def start(self) -> None:
+    def _open(self) -> None:
         self.device_rate = self._pick_device_rate()
+        self._resampler = None
         if self.device_rate != self.sample_rate:
             from emspec.io.resample import StreamingResampler
             self._resampler = StreamingResampler(self.device_rate,
@@ -210,6 +215,23 @@ class SoundDeviceCapture:
             blocksize=self.block, dtype="float32", device=self.device,
             callback=self._callback)
         self._stream.start()
+
+    def start(self) -> None:
+        try:
+            self._open()
+        except Exception:
+            if not self._auto_loopback:
+                raise
+            # the auto-preferred monitor source failed to open (monitor
+            # endpoints vary wildly in rate/channel capabilities) — fall
+            # back to the default input instead of breaking a capture the
+            # pre-preference path would have served
+            self.device = None
+            self.device_name = None
+            self.is_loopback = False
+            self._auto_loopback = False
+            self._stream = None
+            self._open()
 
     def stop(self) -> None:
         if self._stream is not None:

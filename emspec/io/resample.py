@@ -84,6 +84,8 @@ class StreamingResampler:
         self._tail: np.ndarray | None = None
         self._in_count = 0       # absolute input samples consumed
         self._next_out = 0       # absolute next output index
+        self._mono: bool | None = None   # 1-D vs (channels, k) feeding
+        self._channels = 1
 
     @property
     def delay_seconds(self) -> float:
@@ -102,6 +104,8 @@ class StreamingResampler:
 
     def process(self, chunk: np.ndarray) -> np.ndarray:
         x, mono = self._norm(chunk)
+        self._mono = mono                # flush() mirrors the fed shape
+        self._channels = x.shape[0]
         if self.identity:
             return chunk if isinstance(chunk, np.ndarray) else x
         c, k = x.shape
@@ -141,11 +145,15 @@ class StreamingResampler:
 
     def flush(self) -> np.ndarray:
         """Drain the filter: pads with taps−1 zeros so every output whose
-        window overlaps real input is emitted."""
+        window overlaps real input is emitted.  The result has the same
+        leading shape ``process`` returned — ``(k,)`` for a 1-D-fed
+        stream, ``(channels, k)`` otherwise — so callers can concatenate."""
+        mono = self._mono is None or self._mono
         if self.identity or self._tail is None:
-            return np.zeros(0, np.float32)
+            return (np.zeros(0, np.float32) if mono
+                    else np.zeros((self._channels, 0), np.float32))
         c = self._tail.shape[0]
         pad = np.zeros((c, self.taps - 1), np.float32)
-        out = self.process(pad if c > 1 else pad[0])
+        out = self.process(pad[0] if mono else pad)
         self._tail = None
         return out

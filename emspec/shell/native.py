@@ -145,9 +145,11 @@ class NativeWindow:
     def _on_motion(self, event) -> None:
         if not (getattr(event, "state", 0) & 0x0001):   # Shift held?
             return
+        # the label blits the waterfall 1:1, so the window height in pixels
+        # IS the display row count — fetching app.image() here would force
+        # a full device→host waterfall copy per mouse-move event
         rows = self.app.settings.raster_height
-        height = self.app.image().shape[0]
-        row = hover_row(event.y, height, rows)
+        row = hover_row(event.y, rows, rows)
         self._status_text(self.app.hover(row))
 
     def _tick(self) -> None:
@@ -189,8 +191,12 @@ def run_native(settings=None, source: str = "auto",
                prewarm_sizes: tuple | None = None):
     """``emspec gui --native`` entry: build app + feeder + window and run
     the Tk loop.  Raises ``NativeUnavailable`` when Tk cannot open a
-    display so the CLI can fall back to the web shell."""
-    import tkinter
+    display (or isn't installed) so the CLI can fall back to the web
+    shell."""
+    try:
+        import tkinter
+    except ImportError as e:        # slim installs ship no python3-tk
+        raise NativeUnavailable(str(e)) from e
     from emspec.app import EmSpecApp
     from emspec.shell.feed import AudioFeeder
 
@@ -200,6 +206,10 @@ def run_native(settings=None, source: str = "auto",
     try:
         win = NativeWindow(app, tk=tkinter, feeder=feeder)
     except tkinter.TclError as e:
+        # abandon this app's queued prewarm compiles before the CLI builds
+        # the fallback web shell's own app — otherwise the orphaned jobs
+        # survive cancel() and hold interpreter exit behind the dropdown
+        app.close()
         raise NativeUnavailable(str(e)) from e
     win.run()
 

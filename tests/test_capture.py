@@ -134,3 +134,70 @@ def test_loopback_device_preferred(monkeypatch):
         raise RuntimeError("no backend")
     fake.query_devices = boom
     assert find_loopback_device(fake) is None
+
+
+def test_loopback_skipped_when_channels_insufficient(monkeypatch):
+    """A 1-channel monitor source must not shadow the default input for a
+    stereo capture — the preference only fires when the loopback can
+    actually supply the requested channel count."""
+    import sys
+    import types
+
+    from emspec.io.capture import find_loopback_device
+
+    fake = types.ModuleType("sounddevice")
+    fake.query_devices = lambda: [
+        {"name": "Built-in Microphone", "max_input_channels": 2},
+        {"name": "Monitor of Built-in Audio Mono", "max_input_channels": 1},
+    ]
+    monkeypatch.setitem(sys.modules, "sounddevice", fake)
+    from emspec.io.capture import SoundDeviceCapture
+
+    assert find_loopback_device(fake, channels=2) is None
+    assert find_loopback_device(fake, channels=1) == (
+        1, "Monitor of Built-in Audio Mono")
+    cap = SoundDeviceCapture(lambda c: None, channels=2)
+    assert cap.device is None and not cap.is_loopback
+
+
+def test_loopback_start_failure_falls_back_to_default_input(monkeypatch):
+    """When the auto-preferred monitor source refuses to open, capture
+    must retry on the default input instead of crashing — the preference
+    may never break a capture the old default-input path served."""
+    import sys
+    import types
+
+    fake = types.ModuleType("sounddevice")
+    fake.query_devices = lambda *a, **kw: (
+        [{"name": "Monitor of Built-in Audio", "max_input_channels": 2,
+          "default_samplerate": 48_000.0}] if not a and not kw else
+        {"name": "x", "max_input_channels": 2,
+         "default_samplerate": 48_000.0})
+    fake.check_input_settings = lambda **kw: None
+    opened = []
+
+    class FakeStream:
+        def __init__(self, samplerate=None, channels=None, blocksize=None,
+                     dtype=None, device=None, callback=None):
+            self.device = device
+
+        def start(self):
+            opened.append(self.device)
+            if self.device is not None:      # the monitor source is broken
+                raise RuntimeError("device refuses the requested settings")
+
+    fake.InputStream = FakeStream
+    monkeypatch.setitem(sys.modules, "sounddevice", fake)
+    from emspec.io.capture import SoundDeviceCapture
+
+    cap = SoundDeviceCapture(lambda c: None, channels=1)
+    assert cap.is_loopback and cap.device == 0
+    cap.start()                              # must not raise
+    assert opened == [0, None] and cap.device is None and not cap.is_loopback
+
+    # an EXPLICIT device that fails must still surface the error
+    opened.clear()
+    cap2 = SoundDeviceCapture(lambda c: None, channels=1, device=0)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError):
+        cap2.start()

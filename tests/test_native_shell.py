@@ -203,3 +203,27 @@ def test_headless_fallback_raises_cleanly(tmp_path, monkeypatch):
                  raster_height=64, raster_width=96, hop=256)
     with pytest.raises(NativeUnavailable):
         run_native(s, source="synthetic", user_dir=str(tmp_path / "userdir"))
+
+
+def test_shift_hover_needs_no_device_fetch(win, monkeypatch):
+    """The hover readout must not force a device→host waterfall copy per
+    mouse-move event: the label blits the raster 1:1, so the window's
+    pixel height IS raster_height and app.image() never needs fetching."""
+    def _boom():
+        raise AssertionError("hover fetched the whole waterfall image")
+    monkeypatch.setattr(win.app, "image", _boom)
+    win.image_label.bindings["<Motion>"](event(y=0, state=1))
+    assert "Hz" in win.status.config["text"]
+
+
+def test_missing_tkinter_module_falls_back(tmp_path, monkeypatch):
+    """A box without python3-tk must get the documented NativeUnavailable
+    (→ web-shell fallback in the CLI), not a ModuleNotFoundError crash."""
+    import sys
+
+    from emspec.shell.native import NativeUnavailable, run_native
+    monkeypatch.setitem(sys.modules, "tkinter", None)  # import -> ImportError
+    s = Settings(mode="natural", multires=False, fft_size=1024,
+                 raster_height=64, raster_width=96, hop=256)
+    with pytest.raises(NativeUnavailable):
+        run_native(s, source="synthetic", user_dir=str(tmp_path / "userdir"))

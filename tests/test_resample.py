@@ -187,3 +187,27 @@ def test_capture_matching_rate_has_no_resampler(monkeypatch):
                              prefer_loopback=False)
     cap.start()
     assert cap.device_rate == 48_000 and cap._resampler is None
+
+
+def test_flush_shape_matches_fed_shape():
+    """flush() mirrors the leading shape process() returned — a stream fed
+    2-D (1, k) chunks must get a 2-D tail so callers can concatenate."""
+    from emspec.io.resample import StreamingResampler
+
+    rs = StreamingResampler(44_100, 48_000)
+    y = rs.process(np.zeros((1, 1000), np.float32))
+    f = rs.flush()
+    assert y.ndim == 2 and f.ndim == 2 and f.shape[0] == 1
+    np.concatenate([y, f], axis=-1)          # must not raise
+
+    rs = StreamingResampler(44_100, 48_000)
+    y = rs.process(np.zeros(1000, np.float32))
+    f = rs.flush()
+    assert y.ndim == 1 and f.ndim == 1
+
+    # identity rates: flush is empty but still shape-consistent
+    rs = StreamingResampler(48_000, 48_000)
+    y = rs.process(np.zeros((2, 64), np.float32))
+    f = rs.flush()
+    assert f.shape == (2, 0)
+    np.concatenate([y, f], axis=-1)
