@@ -108,3 +108,34 @@ def test_sharded_stream_rejects_indivisible_channels():
         pytest.skip("degenerate mesh size")
     with pytest.raises(ValueError, match="divisible"):
         ShardedStream(_settings(channels=3), channel_mesh())
+
+
+@needs_mesh
+def test_sharded_step_collective_structure():
+    """Pin the comm design in the compiled HLO (SURVEY §5.8): the
+    reassignment pipeline is channel-local, so the sharded streaming step
+    carries NO all-reduce — until agc_global couples the channels, which
+    must introduce exactly the cross-channel reduction and nothing else
+    (no all-to-all / collective-permute resharding creeping in)."""
+    from emspec.parallel import ShardedStream
+
+    n_dev = len(jax.devices())
+    mesh = channel_mesh()
+
+    def compiled_text(agc_global: bool) -> str:
+        st = ShardedStream(_settings(channels=n_dev,
+                                     agc_global=agc_global), mesh)
+        window = jax.device_put(
+            np.zeros((n_dev, st.pipe.n_max), np.float32), st._sh_window)
+        return st._step.lower(st._carry, window,
+                              st.params).compile().as_text()
+
+    local = compiled_text(False)
+    coupled = compiled_text(True)
+    assert "all-reduce" not in local, \
+        "channel-local step must not communicate"
+    assert "all-reduce" in coupled, \
+        "global AGC must lower to a cross-channel all-reduce"
+    for txt, name in ((local, "local"), (coupled, "coupled")):
+        assert "all-to-all" not in txt and "collective-permute" not in txt, \
+            f"unexpected resharding collective in the {name} step"
