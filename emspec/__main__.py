@@ -56,6 +56,13 @@ def cmd_render(args) -> int:
 
     audio, rate = read_wav(args.input)
     s = _settings_from(args, rate)
+    n_need = max(s.multires_sizes) if s.multires else s.fft_size
+    if audio.shape[-1] < n_need:
+        print(f"error: {args.input} has {audio.shape[-1]} samples but one "
+              f"{'multires window' if s.multires else 'FFT window'} needs "
+              f"{n_need} — use a longer file or a smaller --fft-size",
+              file=sys.stderr)
+        return 2
     if args.channel == "all":
         # tiled per-channel view (log-frequency display path), one batched
         # pipeline pass over all channels

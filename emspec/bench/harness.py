@@ -365,6 +365,13 @@ def run_benchmarks(quick: bool = False) -> dict:
         "5_ext_65536_96k": Settings(
             mode="enhanced", multires=False, fft_size=65536,
             sample_rate=96_000),
+        # one more octave: (256, 512) — step-3 tables are 512x512 and a
+        # t_tile=8 block still fits VMEM on v5e (bench_probes/
+        # fft131072_probe.py measured 44.7k cols/s device, 4,800x real
+        # time at 96 kHz)
+        "6_ext_131072_96k": Settings(
+            mode="enhanced", multires=False, fft_size=131072,
+            sample_rate=96_000),
     }
     for name, s in cfgs.items():
         report["configs"][name] = _throughput(s, secs, iters)

@@ -90,3 +90,15 @@ def test_stream_cli_all_channels(tmp_path, capsys):
 def test_note_cli(capsys):
     assert main(["note", "440"]) == 0
     assert "A4" in capsys.readouterr().out
+
+
+def test_render_cli_rejects_too_short_input(tmp_path, capsys):
+    """A WAV shorter than one FFT window must fail with a clear message,
+    not silently write a 0-column PNG."""
+    wav = str(tmp_path / "short.wav")
+    write_wav(wav, synth.tone(440.0, 0.25), 48_000)   # 12k samples
+    rc = main(["render", wav, str(tmp_path / "o.png"),
+               "--fft-size", "32768"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "32768" in err and "12000 samples" in err

@@ -46,8 +46,10 @@ def test_fft4_deposits_mosaic_compile_parity_both_paths():
     from emspec.dsp.pallas.validate import validate_deposits
     validate_deposits(8192)
     validate_deposits(32768)
-    # the §5.7 scaling extension: 65536 = (256, 256), half-spectrum path
+    # the §5.7 scaling extensions: 65536 = (256, 256) and 131072 =
+    # (256, 512), half-spectrum path with depth-scaled tolerances
     validate_deposits(65536)
+    validate_deposits(131072, b=2)
 
 
 def test_pipeline_scatter_backends_agree_on_tpu():
