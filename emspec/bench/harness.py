@@ -312,6 +312,13 @@ def primary_metric(quick: bool = False) -> dict:
     from emspec.config import Settings
     s = Settings(mode="enhanced", multires=False, fft_size=8192)
     runs = 1 if quick else 3
+    if not quick:
+        # discarded session warm-up: the first measurement in a fresh
+        # process through this environment's tunnel reads up to ~30% low
+        # with a wide internal band (measured 4×-cold-run A/B, BENCH.md
+        # item 33) — one short throwaway pass absorbs it so the driver's
+        # single invocation records steady-state capability
+        _throughput(s, seconds=1.0, iters=2)
     reports = [_throughput(s, seconds=2.0 if quick else 4.0,
                            iters=3 if quick else 10)
                for _ in range(runs)]

@@ -27,7 +27,8 @@ import jax
 
 
 def chain_marginal_ms(f: Callable, make_carry: Callable, k: int,
-                      reps: int = 5, long: int = 9, short: int = 3) -> float:
+                      reps: int = 5, long: int = 9, short: int = 3,
+                      extra: int = 9) -> float:
     """Median marginal milliseconds per scanned step.
 
     f: a jitted ``carry → carry`` whose body scans k chained steps; every
@@ -45,9 +46,20 @@ def chain_marginal_ms(f: Callable, make_carry: Callable, k: int,
         _ = np.asarray(leaf).ravel()[0]                    # force
         return time.perf_counter() - t0
 
+    def sample() -> float:
+        return (chain(long) - chain(short)) / (long - short) / k * 1e3
+
     _ = chain(1)                                           # compile + warm
-    samples = [(chain(long) - chain(short)) / (long - short) / k * 1e3
-               for _ in range(reps)]
+    samples = [sample() for _ in range(reps)]
+    # turbulence guard (BENCH.md item 33): the tunnel occasionally enters
+    # windows where individual chain timings swing ±50% — one 5-sample
+    # median recorded a physically impossible per-call cost.  When the
+    # spread says the window is noisy, buy more samples: the median of
+    # reps+extra is far more stable under heavy-tailed timing noise.
+    med = float(np.median(samples))
+    spread = (max(samples) - min(samples)) / max(abs(med), 1e-9)
+    if spread > 0.3 or med <= 0.0:
+        samples += [sample() for _ in range(extra)]
     return float(np.median(samples))
 
 
