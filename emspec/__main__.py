@@ -238,6 +238,20 @@ def cmd_bench(args) -> int:
         }
         print(json.dumps(report, indent=2))
         return 0
+    if args.sustained:
+        # product-level north-star check [NS: "sustain 60 fps"]: the whole
+        # L1→L4 stack against wall clock — capture thread → ring →
+        # streaming step → waterfall, drained at display cadence
+        from emspec.bench.harness import sustained_display
+        from emspec.config import Settings
+        report = {
+            "default_multires": sustained_display(seconds=args.duration or 8.0),
+            "north_star_32768": sustained_display(
+                Settings(mode="enhanced", multires=False, fft_size=32768),
+                seconds=args.duration or 8.0),
+        }
+        print(json.dumps(report, indent=2))
+        return 0
     report = run_benchmarks(quick=args.quick)
     print(json.dumps(report, indent=2))
     return 0
@@ -335,6 +349,13 @@ def main(argv=None) -> int:
     pb.add_argument("--trace", metavar="DIR", default=None,
                     help="write a jax.profiler trace of the streaming hot "
                          "loop to DIR instead of running the harness")
+    pb.add_argument("--sustained", action="store_true",
+                    help="wall-clock sustained-display check: real-time "
+                         "capture thread → ring → streaming step → "
+                         "waterfall, drained at 60 Hz (the north-star "
+                         "'sustain 60 fps' as a product-level measurement)")
+    pb.add_argument("--duration", type=float, default=0.0,
+                    help="seconds per --sustained run (default 8)")
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

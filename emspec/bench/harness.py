@@ -388,3 +388,74 @@ def run_benchmarks(quick: bool = False) -> dict:
     report["configs"]["3_streaming_latency_8192"] = _latency(
         Settings(mode="enhanced", multires=False, fft_size=8192), hops)
     return report
+
+
+def sustained_display(settings=None, seconds: float = 8.0,
+                      drain_hz: float = 60.0, user_dir=None) -> dict:
+    """Product-level north-star measurement [NS: "sustain 60 fps"]: run
+    the REAL display stack — real-time-paced synthetic capture → seqlock
+    ring → streaming device step → waterfall — for ``seconds`` of wall
+    clock, draining at the display cadence like the window shells do,
+    and report whether column production kept up with the audio clock.
+
+    Unlike ``_throughput``/``_latency`` (device- and call-level numbers)
+    this exercises the whole L1→L4 concurrency story at once: producer
+    thread pacing, ring overrun handling, per-hop dispatch, waterfall
+    blitting.  ``keepup_ratio`` ≈ 1.0 means the display never starved;
+    the reach-delay warmup and ±1 hop of clock quantization make ~0.95+
+    the healthy band.  ``emspec bench --sustained`` prints it.
+    """
+    import tempfile
+    import time as _time
+
+    from emspec.app import EmSpecApp
+    from emspec.config import Settings
+    from emspec.shell.feed import AudioFeeder
+
+    s = settings or Settings(mode="enhanced", multires=True)
+    ud = user_dir or tempfile.mkdtemp(prefix="emspec_sustained_")
+    app = EmSpecApp(s, user_dir=ud)
+    # compile outside the clock: one silent window through the step
+    warm = np.zeros((s.channels,
+                     app.stream.pipe.n_max + app.stream.pipe.hop),
+                    np.float32)
+    app.push_audio(warm if s.channels > 1 else warm[0])
+
+    feeder = AudioFeeder(app, source="synthetic")
+    ch = s.channels
+    empty = (np.zeros((ch, 0), np.float32) if ch > 1
+             else np.zeros(0, np.float32))
+    emitted = 0
+    gaps = []
+    feeder.start()
+    t0 = _time.perf_counter()
+    last = t0
+    try:
+        while True:
+            now = _time.perf_counter()
+            if now - t0 >= seconds:
+                break
+            got = app.push_audio(empty)
+            if got:
+                gaps.append(now - last)
+                last = now
+            emitted += got
+            _time.sleep(1.0 / drain_hz)
+    finally:
+        feeder.stop()
+    elapsed = _time.perf_counter() - t0
+    rate = app.settings.sample_rate
+    hop = app.stream.pipe.hop
+    expected = elapsed * rate / hop
+    gaps_ms = sorted(g * 1e3 for g in gaps) or [0.0]
+    return {
+        "seconds": round(elapsed, 2),
+        "expected_cols": int(expected),
+        "emitted_cols": emitted,
+        "keepup_ratio": round(emitted / max(expected, 1e-9), 4),
+        "cols_per_sec_wall": round(emitted / elapsed, 1),
+        "hop_rate_hz": round(rate / hop, 1),
+        "p50_drain_gap_ms": round(gaps_ms[len(gaps_ms) // 2], 1),
+        "p99_drain_gap_ms": round(gaps_ms[int(len(gaps_ms) * 0.99)
+                                          if len(gaps_ms) > 1 else 0], 1),
+    }

@@ -214,3 +214,21 @@ def test_scan_marginal_scaffold_smoke():
     assert np.isfinite(ms)
     # probe really chains: the step's output is a zeroed scalar
     assert float(step(jnp.float32(0.0))) == 0.0
+
+
+def test_sustained_display_keeps_up(tmp_path):
+    """Product-level north-star check [NS: "sustain 60 fps"]: the whole
+    L1→L4 stack (real-time synthetic capture thread → ring → streaming
+    step → waterfall, drained at display cadence) must keep up with the
+    audio clock at a small CPU-friendly config."""
+    from emspec.bench.harness import sustained_display
+    from emspec.config import Settings
+
+    s = Settings(mode="natural", multires=False, fft_size=1024,
+                 raster_height=64, raster_width=128, hop=512)
+    rep = sustained_display(s, seconds=1.5, user_dir=tmp_path)
+    assert rep["emitted_cols"] > 0
+    # generous bound: CI boxes stutter, but a broken producer/drain path
+    # (dead thread, ring mis-sizing, paused stream) lands near zero
+    assert rep["keepup_ratio"] > 0.5, rep
+    assert rep["p99_drain_gap_ms"] < 1000.0, rep
