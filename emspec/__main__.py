@@ -58,9 +58,11 @@ def cmd_render(args) -> int:
     s = _settings_from(args, rate)
     n_need = max(s.multires_sizes) if s.multires else s.fft_size
     if audio.shape[-1] < n_need:
+        fix = ("--no-multires or smaller multires banks" if s.multires
+               else "a smaller --fft-size")
         print(f"error: {args.input} has {audio.shape[-1]} samples but one "
               f"{'multires window' if s.multires else 'FFT window'} needs "
-              f"{n_need} — use a longer file or a smaller --fft-size",
+              f"{n_need} — use a longer file or {fix}",
               file=sys.stderr)
         return 2
     if args.channel == "all":

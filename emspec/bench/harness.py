@@ -366,20 +366,21 @@ def run_benchmarks(quick: bool = False) -> dict:
         "4_stress_16ch_96k_32768": Settings(
             mode="enhanced", multires=False, fft_size=32768,
             sample_rate=96_000, channels=16),
-        # SURVEY §5.7 scaling extension ("32768 and beyond") — not a
-        # BASELINE.json config; the (256, 256) four-step factorization
-        # keeps the fused analysis kernel MXU-shaped at 65536.
-        "5_ext_65536_96k": Settings(
-            mode="enhanced", multires=False, fft_size=65536,
-            sample_rate=96_000),
-        # one more octave: (256, 512) — step-3 tables are 512x512 and a
-        # t_tile=8 block still fits VMEM on v5e (bench_probes/
-        # fft131072_probe.py measured 44.7k cols/s device, 4,800x real
-        # time at 96 kHz)
-        "6_ext_131072_96k": Settings(
-            mode="enhanced", multires=False, fft_size=131072,
-            sample_rate=96_000),
     }
+    if not quick:
+        # SURVEY §5.7 scaling extensions ("32768 and beyond") — not
+        # BASELINE.json configs, and they carry the two largest compiles
+        # in the codebase, so the --quick smoke test (the documented
+        # jax-upgrade check) skips them.  65536 = (256, 256); 131072 =
+        # (256, 512) — step-3 tables 512x512, t_tile=8 still fits v5e
+        # VMEM (bench_probes/fft131072_probe.py: 44.7k cols/s device,
+        # 4,800x real time at 96 kHz).
+        cfgs["5_ext_65536_96k"] = Settings(
+            mode="enhanced", multires=False, fft_size=65536,
+            sample_rate=96_000)
+        cfgs["6_ext_131072_96k"] = Settings(
+            mode="enhanced", multires=False, fft_size=131072,
+            sample_rate=96_000)
     for name, s in cfgs.items():
         report["configs"][name] = _throughput(s, secs, iters)
     # config 3 is the streaming path: measured as latency
@@ -405,6 +406,7 @@ def sustained_display(settings=None, seconds: float = 8.0,
     the reach-delay warmup and ±1 hop of clock quantization make ~0.95+
     the healthy band.  ``emspec bench --sustained`` prints it.
     """
+    import contextlib
     import tempfile
     import time as _time
 
@@ -413,7 +415,18 @@ def sustained_display(settings=None, seconds: float = 8.0,
     from emspec.shell.feed import AudioFeeder
 
     s = settings or Settings(mode="enhanced", multires=True)
-    ud = user_dir or tempfile.mkdtemp(prefix="emspec_sustained_")
+    tmp_ctx = (tempfile.TemporaryDirectory(prefix="emspec_sustained_")
+               if user_dir is None else contextlib.nullcontext(str(user_dir)))
+    with tmp_ctx as ud:
+        return _sustained_run(s, ud, seconds, drain_hz)
+
+
+def _sustained_run(s, ud, seconds: float, drain_hz: float) -> dict:
+    import time as _time
+
+    from emspec.app import EmSpecApp
+    from emspec.shell.feed import AudioFeeder
+
     app = EmSpecApp(s, user_dir=ud)
     # compile outside the clock: one silent window through the step
     warm = np.zeros((s.channels,
@@ -443,6 +456,7 @@ def sustained_display(settings=None, seconds: float = 8.0,
             _time.sleep(1.0 / drain_hz)
     finally:
         feeder.stop()
+        app.close()               # abandon any queued background compiles
     elapsed = _time.perf_counter() - t0
     rate = app.settings.sample_rate
     hop = app.stream.pipe.hop

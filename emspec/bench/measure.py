@@ -60,7 +60,19 @@ def chain_marginal_ms(f: Callable, make_carry: Callable, k: int,
     spread = (max(samples) - min(samples)) / max(abs(med), 1e-9)
     if spread > 0.3 or med <= 0.0:
         samples += [sample() for _ in range(extra)]
-    return float(np.median(samples))
+        med = float(np.median(samples))
+    if med <= 0.0:
+        # jitter still exceeds the chains' work delta: longer chains once,
+        # then the whole-chain time per step — overhead-inclusive, so a
+        # conservative UNDERestimate of speed, but positive and honest
+        # (mirrors _throughput's relay-marginal fallback; never emit ≤ 0)
+        long2 = long * 4
+        med = float(np.median(
+            [(chain(long2) - chain(short)) / (long2 - short) / k * 1e3
+             for _ in range(3)]))
+        if med <= 0.0:
+            med = chain(long2) / long2 / k * 1e3
+    return med
 
 
 def probe_chain(fn: Callable, *args):
