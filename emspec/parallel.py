@@ -119,6 +119,7 @@ class ShardedStream:
             PostState(smooth=NamedSharding(mesh, P(ax, None)),
                       agc_ref=NamedSharding(mesh, P(ax))),
         )
+        self._sh_carry = sh_carry
         self._carry = jax.device_put(
             self.pipe.init_stream_carry((ch,)), sh_carry)
         self.params = jax.device_put(
@@ -145,6 +146,23 @@ class ShardedStream:
         idx = self._t - self.pipe.reach
         self._t += 1
         return None if idx < 0 else (idx, vis, rgba)
+
+    # ----------------------------------------------------- checkpoint/resume
+    def state_pytree(self):
+        """Sharded streaming state as a HOST pytree (SURVEY.md §5.4 ×
+        §5.8): carry leaves are gathered to host numpy — the live
+        carry's device buffers are donated into the next step, and a
+        snapshot must survive an *elastic* restart onto a different
+        mesh size (load_state re-shards on whatever mesh the restored
+        stream runs)."""
+        carry = jax.tree_util.tree_map(np.asarray, self._carry)
+        return {"carry": carry, "t": self._t}
+
+    def load_state(self, state) -> None:
+        """Resume from a snapshot, re-sharding onto THIS stream's mesh
+        (the snapshot's mesh size need not match — channels must)."""
+        self._carry = jax.device_put(state["carry"], self._sh_carry)
+        self._t = int(state["t"])
 
 
 def stream_signal_sharded(x: np.ndarray, settings: Settings, mesh: Mesh):

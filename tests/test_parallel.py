@@ -139,3 +139,50 @@ def test_sharded_step_collective_structure():
     for txt, name in ((local, "local"), (coupled, "coupled")):
         assert "all-to-all" not in txt and "collective-permute" not in txt, \
             f"unexpected resharding collective in the {name} step"
+
+
+@needs_mesh
+def test_sharded_stream_elastic_checkpoint_resume():
+    """Checkpoint/resume × multichip (SURVEY §5.4 × §5.8): snapshot a
+    sharded stream mid-flight to a HOST pytree, resume it on a mesh of a
+    DIFFERENT size (elastic restart — fewer devices after a failure),
+    and the continuation must match the uninterrupted run exactly
+    (the snapshot is host numpy, so resharding is just device_put)."""
+    from emspec.parallel import ShardedStream
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 4
+    s = _settings(channels=n_dev, smoothing=0.3, auto_gain=True)
+    x = np.stack([synth.chirp(120.0 * (c + 1), 2500.0, 0.1, SR)
+                  for c in range(s.channels)])
+
+    def feed(st, t):
+        return st.step(x[:, t * st.pipe.hop: t * st.pipe.hop + st.pipe.n_max])
+
+    # uninterrupted reference on the full mesh
+    ref = ShardedStream(s, channel_mesh())
+    n_hops = ref.pipe.num_columns(x.shape[-1])
+    ref_cols = [feed(ref, t) for t in range(n_hops)]
+
+    # interrupted twin: snapshot at the midpoint...
+    a = ShardedStream(s, channel_mesh())
+    mid = n_hops // 2
+    cols = [feed(a, t) for t in range(mid)]
+    snap = a.state_pytree()
+    # every leaf is host numpy — a real checkpoint, not aliased device
+    # buffers the next step would donate away
+    for leaf in jax.tree_util.tree_leaves(snap["carry"]):
+        assert isinstance(leaf, np.ndarray)
+
+    # ...and resume on a HALVED mesh
+    b = ShardedStream(s, channel_mesh(jax.devices()[: n_dev // 2]))
+    b.load_state(snap)
+    cols += [feed(b, t) for t in range(mid, n_hops)]
+
+    got = [(i, np.asarray(v)) for c in cols if c is not None
+           for i, v, _ in [c]]
+    want = [(i, np.asarray(v)) for c in ref_cols if c is not None
+            for i, v, _ in [c]]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        np.testing.assert_allclose(g, w, atol=1e-6)
