@@ -83,3 +83,32 @@ def load_stream(path: str | Path, stream) -> None:
         stream.load_state({"carry": carry, "t": int(z["t"]),
                            "next_frame": int(z["next_frame"])})
         stream.dropped_frames = int(z["dropped"])
+
+
+def save_sharded_stream(path: str | Path, stream) -> None:
+    """Serialize a :class:`~emspec.parallel.ShardedStream`'s resumable
+    state (SURVEY §5.4 × §5.8).  The snapshot is mesh-agnostic — the
+    sharded carry is gathered to host numpy — so a stream saved on an
+    8-device mesh loads onto any mesh whose size divides the channel
+    count (elastic restart).  ShardedStream owns no ring: its windows
+    come from the caller, so the snapshot is carry + hop counter."""
+    state = stream.state_pytree()
+    payload = {f"carry_{i}": leaf
+               for i, leaf in enumerate(_flatten(state["carry"]))}
+    payload["t"] = np.int64(state["t"])
+    path = _npz_path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **payload)
+
+
+def load_sharded_stream(path: str | Path, stream) -> None:
+    """Restore :func:`save_sharded_stream` state into a freshly built
+    ShardedStream with identical Settings (any mesh size; load_state
+    re-shards onto the stream's own mesh)."""
+    with np.load(_npz_path(path), allow_pickle=False) as z:
+        fresh = stream.pipe.init_stream_carry((stream.settings.channels,))
+        treedef = jax.tree_util.tree_structure(fresh)
+        n_leaves = len(jax.tree_util.tree_leaves(fresh))
+        carry = jax.tree_util.tree_unflatten(
+            treedef, [z[f"carry_{i}"] for i in range(n_leaves)])
+        stream.load_state({"carry": carry, "t": int(z["t"])})

@@ -186,3 +186,34 @@ def test_sharded_stream_elastic_checkpoint_resume():
     assert [i for i, _ in got] == [i for i, _ in want]
     for (_, g), (_, w) in zip(got, want):
         np.testing.assert_allclose(g, w, atol=1e-6)
+
+
+@needs_mesh
+def test_sharded_stream_npz_checkpoint_roundtrip(tmp_path):
+    """The sharded snapshot persists through the same no-pickle .npz
+    format as the single-chip stream (utils/checkpoint)."""
+    from emspec.parallel import ShardedStream
+    from emspec.utils.checkpoint import (load_sharded_stream,
+                                         save_sharded_stream)
+
+    n_dev = len(jax.devices())
+    s = _settings(channels=n_dev, smoothing=0.4)
+    x = np.stack([synth.tone(200.0 * (c + 1), 0.1, SR)
+                  for c in range(s.channels)])
+    a = ShardedStream(s, channel_mesh())
+    hops = a.pipe.num_columns(x.shape[-1])
+    for t in range(hops // 2):
+        a.step(x[:, t * a.pipe.hop: t * a.pipe.hop + a.pipe.n_max])
+    save_sharded_stream(tmp_path / "ck", a)
+
+    b = ShardedStream(s, channel_mesh(jax.devices()[: max(n_dev // 2, 1)]))
+    load_sharded_stream(tmp_path / "ck", b)
+    for t in range(hops // 2, hops):
+        w = x[:, t * a.pipe.hop: t * a.pipe.hop + a.pipe.n_max]
+        oa, ob = a.step(w), b.step(w)
+        if oa is None:
+            assert ob is None
+            continue
+        assert oa[0] == ob[0]
+        np.testing.assert_allclose(np.asarray(oa[1]), np.asarray(ob[1]),
+                                   atol=1e-6)
