@@ -319,7 +319,12 @@ def primary_metric(quick: bool = False) -> dict:
         # item 33) — one short throwaway pass absorbs it so the driver's
         # single invocation records steady-state capability
         _throughput(s, seconds=1.0, iters=2)
-    reports = [_throughput(s, seconds=2.0 if quick else 4.0,
+    # 16 s of signal = t_count≈372 frames per call: the saturating batch
+    # (BENCH.md item 37 A/B — 4 s leaves the relay's ~0.3 ms per-call
+    # dispatch residual at ~3× the device work, 64 s degrades the device
+    # itself).  At t≈372 the relay marginal sits within ~5% of chip
+    # capability, so `value` finally measures engineering, not weather.
+    reports = [_throughput(s, seconds=2.0 if quick else 16.0,
                            iters=3 if quick else 10)
                for _ in range(runs)]
     vals = [r["columns_per_sec"] for r in reports]
