@@ -196,9 +196,13 @@ def cmd_gui(args) -> int:
     source = "wav" if args.input else args.backend
     s = _settings_from(args, args.sample_rate, multires_default=True)
     # pre-compile the FFT-size dropdown in the background so flipping it
-    # in the panel never stalls the display (SURVEY.md §7 hard part 3)
+    # in the panel never stalls the display (SURVEY.md §7 hard part 3).
+    # Only the reference dropdown range (≤32768): the §5.7 ext sizes are
+    # the two largest compiles in the codebase and almost never selected
+    # live — they compile on first use instead.
     from emspec.config import FFT_SIZES
-    warm = FFT_SIZES if not args.no_prewarm else None
+    warm = (tuple(n for n in FFT_SIZES if n <= 32768)
+            if not args.no_prewarm else None)
     if args.native:
         from emspec.shell.native import NativeUnavailable, run_native
         try:

@@ -413,11 +413,8 @@ def sustained_display(settings=None, seconds: float = 8.0,
     """
     import contextlib
     import tempfile
-    import time as _time
 
-    from emspec.app import EmSpecApp
     from emspec.config import Settings
-    from emspec.shell.feed import AudioFeeder
 
     s = settings or Settings(mode="enhanced", multires=True)
     tmp_ctx = (tempfile.TemporaryDirectory(prefix="emspec_sustained_")
@@ -459,10 +456,12 @@ def _sustained_run(s, ud, seconds: float, drain_hz: float) -> dict:
                 last = now
             emitted += got
             _time.sleep(1.0 / drain_hz)
+        # clock stops HERE: feeder.stop() joins the capture thread (up to
+        # a capture block) and must not count against the keep-up ratio
+        elapsed = _time.perf_counter() - t0
     finally:
         feeder.stop()
         app.close()               # abandon any queued background compiles
-    elapsed = _time.perf_counter() - t0
     rate = app.settings.sample_rate
     hop = app.stream.pipe.hop
     expected = elapsed * rate / hop

@@ -161,6 +161,11 @@ def validate_kernels(quick: bool = False) -> dict:
         validate_windowing(((16, 2048),) if quick else ((90, 2048), (32768,)))
         validate_fft4((8192,) if quick else (8192, 32768))
         validate_deposits(8192 if quick else 32768)
+        if not quick:
+            # the §5.7 ext shape (256, 512) is a different Mosaic tiling
+            # regime (n2=512 step-3 tables) and user-reachable from the
+            # dropdown — the upgrade smoke test must cover it too
+            validate_deposits(131072, b=2)
         validate_lut()
     from emspec.dsp.pallas import TESTED_JAX_VERSION, check_jax_compat
     return {"backend": jax.default_backend(), "kernels_validated": True,

@@ -220,6 +220,15 @@ class SoundDeviceCapture:
         try:
             self._open()
         except Exception:
+            # release a stream that opened but failed to start — on
+            # exclusive-access host APIs a leaked open handle can make
+            # the fallback open fail too
+            if self._stream is not None:
+                try:
+                    self._stream.close()
+                except Exception:
+                    pass
+                self._stream = None
             if not self._auto_loopback:
                 raise
             # the auto-preferred monitor source failed to open (monitor
@@ -230,7 +239,6 @@ class SoundDeviceCapture:
             self.device_name = None
             self.is_loopback = False
             self._auto_loopback = False
-            self._stream = None
             self._open()
 
     def stop(self) -> None:

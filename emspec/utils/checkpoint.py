@@ -25,6 +25,21 @@ def _flatten(tree) -> list[np.ndarray]:
     return [np.asarray(leaf) for leaf in leaves]
 
 
+def _carry_payload(carry) -> dict:
+    """The npz carry layout (``carry_{i}`` keys), shared by the
+    single-chip and sharded savers so the format lives in one place."""
+    return {f"carry_{i}": leaf for i, leaf in enumerate(_flatten(carry))}
+
+
+def _carry_from(z, fresh):
+    """Rebuild a carry pytree from :func:`_carry_payload` keys using a
+    freshly-initialized carry's structure (no pickled treedefs)."""
+    treedef = jax.tree_util.tree_structure(fresh)
+    n_leaves = len(jax.tree_util.tree_leaves(fresh))
+    return jax.tree_util.tree_unflatten(
+        treedef, [z[f"carry_{i}"] for i in range(n_leaves)])
+
+
 def _npz_path(path: str | Path) -> Path:
     """np.savez appends '.npz' to extensionless paths; normalize here so
     save_stream(p)/load_stream(p) round-trip for any p."""
@@ -35,12 +50,11 @@ def _npz_path(path: str | Path) -> Path:
 def save_stream(path: str | Path, stream) -> None:
     """Serialize a Stream's full resumable state to ``path`` (.npz)."""
     state = stream.state_pytree()
-    leaves = _flatten(state["carry"])
     ring = stream.ring
     total = int(ring.total_written)
     keep = min(total, ring.capacity)
     ring_data = ring.latest(keep) if keep else np.zeros((stream.channels, 0), np.float32)
-    payload = {f"carry_{i}": leaf for i, leaf in enumerate(leaves)}
+    payload = _carry_payload(state["carry"])
     payload["t"] = np.int64(state["t"])
     payload["next_frame"] = np.int64(state["next_frame"])
     payload["ring_data"] = ring_data
@@ -55,12 +69,8 @@ def load_stream(path: str | Path, stream) -> None:
     """Restore state saved by :func:`save_stream` into a freshly
     constructed Stream with identical Settings."""
     with np.load(_npz_path(path), allow_pickle=False) as z:
-        fresh = stream.pipe.init_stream_carry(
-            (stream.channels,) if stream.channels > 1 else ())
-        treedef = jax.tree_util.tree_structure(fresh)
-        n_leaves = len(jax.tree_util.tree_leaves(fresh))
-        leaves = [z[f"carry_{i}"] for i in range(n_leaves)]
-        carry = jax.tree_util.tree_unflatten(treedef, leaves)
+        carry = _carry_from(z, stream.pipe.init_stream_carry(
+            (stream.channels,) if stream.channels > 1 else ()))
         total = int(z["ring_total"])
         ring_data = z["ring_data"]
         # replay the retained window at its absolute position: pushing
@@ -93,8 +103,7 @@ def save_sharded_stream(path: str | Path, stream) -> None:
     count (elastic restart).  ShardedStream owns no ring: its windows
     come from the caller, so the snapshot is carry + hop counter."""
     state = stream.state_pytree()
-    payload = {f"carry_{i}": leaf
-               for i, leaf in enumerate(_flatten(state["carry"]))}
+    payload = _carry_payload(state["carry"])
     payload["t"] = np.int64(state["t"])
     path = _npz_path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -106,9 +115,6 @@ def load_sharded_stream(path: str | Path, stream) -> None:
     ShardedStream with identical Settings (any mesh size; load_state
     re-shards onto the stream's own mesh)."""
     with np.load(_npz_path(path), allow_pickle=False) as z:
-        fresh = stream.pipe.init_stream_carry((stream.settings.channels,))
-        treedef = jax.tree_util.tree_structure(fresh)
-        n_leaves = len(jax.tree_util.tree_leaves(fresh))
-        carry = jax.tree_util.tree_unflatten(
-            treedef, [z[f"carry_{i}"] for i in range(n_leaves)])
+        carry = _carry_from(
+            z, stream.pipe.init_stream_carry((stream.settings.channels,)))
         stream.load_state({"carry": carry, "t": int(z["t"])})
