@@ -221,3 +221,37 @@ def test_shell_prewarms_fft_dropdown(tmp_path):
         assert _cached_pipeline.cache_info().hits > before
     finally:
         srv.stop()
+
+
+def test_settings_churn_under_live_drain(shell):
+    """Stress the app/shell locking seam: rapid mixed continuous +
+    structural settings changes against the live drain worker and the
+    synthetic capture producer must never wedge the server or corrupt a
+    response.  (Single-change behavior is pinned elsewhere; this hunts
+    lock-ordering and stream-swap races.)"""
+    import random
+
+    rng = random.Random(0)
+    changes = []
+    for _ in range(40):
+        kind = rng.randrange(4)
+        if kind == 0:
+            changes.append({"gain": rng.uniform(0.5, 9.0)})
+        elif kind == 1:
+            changes.append({"fft_size": rng.choice([512, 1024, 2048])})
+        elif kind == 2:
+            changes.append({"mode": rng.choice(["natural", "enhanced"])})
+        else:
+            changes.append({"smoothing": rng.uniform(0.0, 0.9),
+                            "colormap": rng.choice(["inferno", "viridis"])})
+    for payload in changes:
+        r = _post(shell, "/api/settings", payload)
+        assert r["kind"] in ("continuous", "structural", "noop")
+        # the server stays fully responsive mid-churn
+        st = json.loads(_get(shell, "/api/state"))
+        assert "paused" in st
+    # after the storm: a coherent frame at the final geometry
+    raw = _get(shell, "/api/frame")
+    s = json.loads(_get(shell, "/api/settings"))
+    assert len(raw) == 128 * 256 * 4 + 8  # rows*width*4 + header
+    assert s["fft_size"] in (512, 1024, 2048)
