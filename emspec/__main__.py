@@ -153,7 +153,11 @@ def cmd_live(args) -> int:
 
 def cmd_note(args) -> int:
     from emspec.utils.notes import describe_frequency
-    print(describe_frequency(args.freq))
+    try:
+        print(describe_frequency(args.freq))
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     return 0
 
 

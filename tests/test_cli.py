@@ -102,3 +102,11 @@ def test_render_cli_rejects_too_short_input(tmp_path, capsys):
     assert rc == 2
     err = capsys.readouterr().err
     assert "32768" in err and "12000 samples" in err
+
+
+def test_note_cli_rejects_nonpositive_frequency(capsys):
+    rc = main(["note", "0"])
+    assert rc == 2
+    assert "positive" in capsys.readouterr().err
+    rc = main(["note", "443"])
+    assert rc == 0
