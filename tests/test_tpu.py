@@ -45,6 +45,9 @@ def test_fft4_deposits_mosaic_compile_parity_both_paths():
     mode green does not imply Mosaic green."""
     from emspec.dsp.pallas.validate import validate_deposits
     validate_deposits(8192)
+    # 16384 = (128, 128): the remaining user-selectable dropdown size on
+    # the fused path, full-spectrum step-3 regime at its largest tiles
+    validate_deposits(16384, b=2)
     validate_deposits(32768)
     # the §5.7 scaling extensions: 65536 = (256, 256) and 131072 =
     # (256, 512), half-spectrum path with depth-scaled tolerances
