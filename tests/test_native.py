@@ -127,3 +127,39 @@ def test_wav_rejects_garbage(tmp_path):
     p.write_bytes(b"not a wav file at all, sorry")
     with pytest.raises(ValueError):
         native.read_wav(p)
+
+
+def test_ring_torn_read_detection_adversarial():
+    """Hammer the seqlock (SURVEY §5.2): UNPACED producer on a small
+    ring — lapping constantly — while the consumer reads spans right at
+    the overwrite horizon.  Every window returned as valid must be
+    value-exact; a producer lap during the copy must surface as an
+    overrun error, never as silently torn data.  (ctypes releases the
+    GIL during the C push/window calls, so the two threads genuinely
+    overlap inside the ring code.)"""
+    nat = native.NativeRingBuffer(1024, 1)
+    total = 1_000_000
+
+    def produce():
+        pos = 0
+        while pos < total:
+            k = min(257, total - pos)
+            nat.push(np.arange(pos, pos + k, dtype=np.float32))
+            pos += k
+
+    t = threading.Thread(target=produce)
+    t.start()
+    good = detected = 0
+    while nat.total_written < total:
+        tw = int(nat.total_written)
+        start = max(tw - 1024, 0)         # the oldest still-live sample
+        try:
+            w = nat.window_at(start, 256)[0]
+        except ValueError:                # overrun detected — the point
+            detected += 1
+            continue
+        np.testing.assert_array_equal(
+            w, np.arange(start, start + 256, dtype=np.float32))
+        good += 1
+    t.join()
+    assert good > 100                     # real valid reads happened
