@@ -43,6 +43,12 @@ def __getattr__(name):
     if name == "ShardedPipeline":
         from emspec.parallel import ShardedPipeline
         return ShardedPipeline
+    if name == "ShardedStream":
+        from emspec.parallel import ShardedStream
+        return ShardedStream
+    if name == "channel_mesh":
+        from emspec.parallel import channel_mesh
+        return channel_mesh
     raise AttributeError(f"module 'emspec' has no attribute {name!r}")
 
 
