@@ -369,7 +369,19 @@ def main(argv=None) -> int:
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        # user-facing: missing WAV/preset file is a usage error, not a
+        # traceback (verify-drive finding, round 3)
+        print(f"error: file not found: {e.filename or e}", file=sys.stderr)
+        return 2
+    except KeyError as e:
+        print(f"error: no preset named {e.args[0]!r}", file=sys.stderr)
+        return 2
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

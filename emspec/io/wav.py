@@ -148,6 +148,12 @@ def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
     x = np.asarray(samples, dtype=np.float32)
     if x.ndim == 1:
         x = x[None, :]
+    if x.ndim != 2 or x.shape[0] > 64:
+        # a (n, channels) array passed by mistake otherwise surfaces as a
+        # struct overflow deep inside the wave module
+        raise ValueError(
+            f"write_wav expects (channels, n) or (n,) samples, got shape "
+            f"{np.shape(samples)} — transpose a (n, channels) array")
     pcm = np.clip(x.T * 32767.0, -32768, 32767).astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(x.shape[0])

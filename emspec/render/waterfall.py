@@ -66,7 +66,12 @@ class Waterfall:
         self.rows = int(rows)
         self.scroll_speed = float(scroll_speed)
         self.lut_table = lut_table
-        self._buf = jnp.zeros((self.width, self.rows, 4), jnp.uint8)
+        # unwritten slots are OPAQUE black (alpha 255), not transparent:
+        # a PNG of a part-filled waterfall must read as "no signal yet"
+        # (the colormap floor is black in every shipped map), not as the
+        # viewer's white compositing background
+        self._buf = jnp.zeros((self.width, self.rows, 4), jnp.uint8
+                              ).at[..., 3].set(255)
         self._head = jnp.int32(0)
         self._phase = 0.0          # fractional columns owed (host scalar)
         self._acc = None           # float32 sum of columns since last paint

@@ -44,8 +44,21 @@ def test_presets_add_edit_delete_cli(tmp_path, capsys):
     assert main(["presets", "delete", "--name", "Bass", "--file", store]) == 0
     main(["presets", "list", "--file", store])
     assert "Bass" not in capsys.readouterr().out
-    with pytest.raises(ValueError):
-        main(["presets", "delete", "--name", "Default", "--file", store])
+    rc = main(["presets", "delete", "--name", "Default", "--file", store])
+    assert rc == 2
+    assert "Default preset cannot be deleted" in capsys.readouterr().err
+
+
+def test_cli_clean_errors_for_user_mistakes(tmp_path, capsys):
+    """Missing files and unknown preset names are usage errors: one line
+    on stderr + rc 2, never a traceback (round-3 verify-drive finding)."""
+    rc = main(["render", str(tmp_path / "nope.wav"), str(tmp_path / "o.png")])
+    assert rc == 2
+    assert "file not found" in capsys.readouterr().err
+    rc = main(["presets", "show", "--name", "Nope",
+               "--file", str(tmp_path / "p.json")])
+    assert rc == 2
+    assert "no preset named 'Nope'" in capsys.readouterr().err
 
 
 def test_render_cli_writes_png(tmp_path, capsys):

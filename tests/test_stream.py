@@ -396,3 +396,15 @@ def test_waterfall_rejects_multichannel_column():
     wf = Waterfall(width=4, rows=8)
     with pytest.raises(ValueError, match="one .rows, 4. column"):
         wf.add_column(jnp.zeros((2, 8, 4), jnp.uint8))
+
+
+def test_waterfall_unwritten_columns_opaque_black():
+    """Slots no column has reached yet must be opaque black — a PNG of a
+    part-filled waterfall composites as "no signal", never as the
+    viewer's (usually white) background showing through alpha 0."""
+    import jax.numpy as jnp
+    wf = Waterfall(width=8, rows=4)
+    wf.add_column(jnp.full((4, 4), 200, jnp.uint8))
+    img = wf.image()
+    np.testing.assert_array_equal(img[:, :-1, :3], 0)       # black RGB
+    np.testing.assert_array_equal(img[:, :-1, 3], 255)      # opaque

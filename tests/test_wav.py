@@ -80,3 +80,12 @@ def test_write_read_roundtrip_public_api(tmp_path):
     assert rate == 44_100
     # 16-bit quantization (truncation) + the 32767/32768 write/read scale
     np.testing.assert_allclose(got[0], x, atol=1e-4, rtol=0)
+
+
+def test_write_wav_rejects_samples_major_layout(tmp_path):
+    """A (n, channels) array passed by mistake must raise a clear
+    ValueError, not a struct overflow deep inside the wave module."""
+    import pytest
+    x = np.zeros((1000, 2), np.float32)            # wrong orientation
+    with pytest.raises(ValueError, match="transpose"):
+        write_wav(tmp_path / "bad.wav", x, 48_000)
