@@ -85,6 +85,35 @@ def test_chirp_ridge_tracks_instantaneous_frequency():
     assert np.median(errs) < bin_hz  # ridge follows instantaneous frequency
 
 
+def test_crossing_chirps_stay_resolved():
+    """Two crossing chirps (one rising, one falling) must remain two
+    distinct reassigned ridges away from the crossing — multi-component
+    separation is reassignment's headline claim (the single-component
+    tone/chirp tests never exercise interference between components)."""
+    n, hop = 2048, 256
+    secs = 0.5
+    up = synth.chirp(500.0, 5000.0, secs, SR)
+    down = synth.chirp(5000.0, 500.0, secs, SR)
+    S = np.asarray(reassigned_spectrogram(jnp.asarray(up + down), n, hop))
+    bin_hz = SR / n
+    t_count = S.shape[0]
+    errs = []
+    for t in range(t_count // 8, t_count // 4, 2):   # well before crossing
+        center_sample = t * hop + n // 2
+        frac = (center_sample / SR) / secs
+        f_up = 500.0 + (5000.0 - 500.0) * frac
+        f_dn = 5000.0 + (500.0 - 5000.0) * frac
+        col = S[t]
+        # each component's ridge peaks within its own half of the band
+        k_split = int(((f_up + f_dn) / 2) / bin_hz)
+        k_lo = int(col[:k_split].argmax())
+        k_hi = k_split + int(col[k_split:].argmax())
+        lo_true, hi_true = sorted((f_up, f_dn))
+        errs.append(abs(k_lo * bin_hz - lo_true))
+        errs.append(abs(k_hi * bin_hz - hi_true))
+    assert np.median(errs) < 2 * bin_hz
+
+
 def test_impulse_reassigns_in_time():
     """An impulse must reassign in *time* to the impulse instant."""
     n, hop = 1024, 128

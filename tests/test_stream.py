@@ -94,6 +94,27 @@ def test_stream_incremental_chunks_equal_one_push():
     np.testing.assert_allclose(a, b, atol=0)
 
 
+def test_stream_random_block_sizes_equal_batch():
+    """Fuzz the push granularity: an adversarial random block-size
+    sequence (1-sample dribbles through multi-hop bursts) must be
+    bit-identical to one whole-signal push — the fixed-chunk tests never
+    hit e.g. a block boundary INSIDE a hop right after a giant burst."""
+    s = _settings(mode="enhanced", smoothing=0.3)
+    x = synth.noise(0.25, seed=13)
+    rng = np.random.default_rng(17)
+    st = Stream(s)
+    cols, i = [], 0
+    while i < len(x):
+        b = int(rng.choice([1, 3, 64, 500, 1024, 4096]))
+        cols.extend(st.push(x[i:i + b]))
+        i += b
+    cols.extend(st.flush())
+    cols.sort(key=lambda c: c.index)
+    got = np.stack([np.asarray(c.vis) for c in cols])
+    want = stream_signal(x, s, chunk=len(x))[0]
+    np.testing.assert_allclose(got, want, atol=0)
+
+
 # --------------------------------------------------------- pause / resume
 def test_pause_resume():
     s = _settings(mode="natural")
