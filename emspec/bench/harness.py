@@ -388,6 +388,14 @@ def run_benchmarks(quick: bool = False) -> dict:
             sample_rate=96_000)
     for name, s in cfgs.items():
         report["configs"][name] = _throughput(s, secs, iters)
+    if not quick:
+        # 262144 = (512, 512), the third §5.7 octave: a 4 s signal at
+        # 96 kHz holds under 1.5 windows, so this config gets its own
+        # 8 s signal (t≈9/call) — the other configs stay at 4 s for
+        # round-over-round comparability (BENCH.md item 36).
+        report["configs"]["7_ext_262144_96k"] = _throughput(
+            Settings(mode="enhanced", multires=False, fft_size=262144,
+                     sample_rate=96_000), 8.0, iters)
     # config 3 is the streaming path: measured as latency
     report["configs"]["3_streaming_latency_default"] = _latency(
         Settings(mode="enhanced", multires=True), hops)

@@ -29,13 +29,15 @@ from typing import Any
 
 # FFT sizes offered by the reference dropdown (reference: assets/settings.png
 # shows 4096 selected from a dropdown; north star requires 512..32768).
-# 65536 and 131072 are the SURVEY §5.7 scaling extension ("32768 and
-# beyond"): the four-step factorizations (256, 256) and (256, 512) stay
-# MXU-shaped, so the fused TPU analysis kernel covers them natively
-# (validated on hardware like the production sizes, with a documented
-# depth-scaled split-bf16 tolerance — emspec/dsp/pallas/validate.py;
-# tests/test_fidelity_sweep.py pins CPU fidelity).
-FFT_SIZES = (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072)
+# 65536/131072/262144 are the SURVEY §5.7 scaling extension ("32768 and
+# beyond"): the four-step factorizations (256, 256), (256, 512) and
+# (512, 512) stay MXU-shaped, so the fused TPU analysis kernel covers
+# them natively (validated on hardware like the production sizes, with a
+# documented depth-scaled split-bf16 tolerance —
+# emspec/dsp/pallas/validate.py; tests/test_fidelity_sweep.py pins CPU
+# fidelity).
+FFT_SIZES = (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072,
+             262144)
 
 # Analysis modes (reference: settings.png "Enhanced" / "Natural" buttons).
 MODE_ENHANCED = "enhanced"  # reassignment on  (README.md:11)

@@ -39,7 +39,7 @@ _FACTORS = {
     256: (16, 16),
     512: (16, 32), 1024: (32, 32), 2048: (32, 64), 4096: (64, 64),
     8192: (64, 128), 16384: (128, 128), 32768: (128, 256),
-    65536: (256, 256), 131072: (256, 512),
+    65536: (256, 256), 131072: (256, 512), 262144: (512, 512),
 }
 
 _HI = jax.lax.Precision.HIGHEST

@@ -119,7 +119,8 @@ def validate_deposits(n: int = 8192, b: int = 3) -> None:
     hg = hist(row_g, delta_g, contrib_g)
     # energy-sum tolerance is depth-scaled like the per-bin one below:
     # measured on the chip 1.6e-3 at 131072 (K = 512 step-3 chain),
-    # inside 1e-3 for every size up to 65536
+    # inside 1e-3 for every size up to 65536; 262144 stayed inside the
+    # same 4e-3 bound in the adoption probe (bench_probes/fft262144_probe)
     sum_tol = 1e-3 if n <= 65536 else 4e-3
     assert abs(hw.sum() - hg.sum()) / max(hw.sum(), 1e-12) < sum_tol
     try:
@@ -134,9 +135,11 @@ def validate_deposits(n: int = 8192, b: int = 3) -> None:
     # chip: ≤32768 (K ≤ 256×181) stays inside 1e-3·max; 65536 (256,256)
     # reaches 1.1e-3 relative on 0.3% of bins — 0.005 dB, invisible at
     # the 256-level display LUT; 131072 (256,512) reaches 2.3e-3 on
-    # 0.8% of bins (0.01 dB).  4e-3 at n ≥ 65536 keeps the check a
-    # real regression pin without failing on the documented precision.
-    tol = 1e-3 if n <= 32768 else 4e-3
+    # 0.8% of bins (0.01 dB); 262144 (512,512) reaches 4.2e-3 on 0.4%
+    # of bins (0.018 dB).  4e-3 at n ≥ 65536 (6e-3 at 262144) keeps the
+    # check a real regression pin without failing on the documented
+    # precision.
+    tol = 1e-3 if n <= 32768 else (4e-3 if n <= 131072 else 6e-3)
     np.testing.assert_allclose(mf_g, mf_w, atol=tol * hw.max())
 
 
@@ -162,10 +165,12 @@ def validate_kernels(quick: bool = False) -> dict:
         validate_fft4((8192,) if quick else (8192, 32768))
         validate_deposits(8192 if quick else 32768)
         if not quick:
-            # the §5.7 ext shape (256, 512) is a different Mosaic tiling
-            # regime (n2=512 step-3 tables) and user-reachable from the
-            # dropdown — the upgrade smoke test must cover it too
+            # the §5.7 ext shapes (256, 512) and (512, 512) are
+            # different Mosaic tiling regimes (n1/n2 = 512 step-1/3
+            # tables) and user-reachable from the dropdown — the upgrade
+            # smoke test must cover them too
             validate_deposits(131072, b=2)
+            validate_deposits(262144, b=2)
         validate_lut()
     from emspec.dsp.pallas import TESTED_JAX_VERSION, check_jax_compat
     return {"backend": jax.default_backend(), "kernels_validated": True,

@@ -28,9 +28,9 @@ def test_defaults_match_reference_panel():
 
 
 def test_fft_size_envelope():
-    # north-star 512–32768 + the §5.7 scaling extensions 65536/131072
+    # north-star 512–32768 + §5.7 scaling extensions 65536/131072/262144
     assert FFT_SIZES == (512, 1024, 2048, 4096, 8192, 16384, 32768, 65536,
-                         131072)
+                         131072, 262144)
     with pytest.raises(ValueError):
         Settings(fft_size=1000)
 

@@ -49,10 +49,12 @@ def test_fft4_deposits_mosaic_compile_parity_both_paths():
     # the fused path, full-spectrum step-3 regime at its largest tiles
     validate_deposits(16384, b=2)
     validate_deposits(32768)
-    # the §5.7 scaling extensions: 65536 = (256, 256) and 131072 =
-    # (256, 512), half-spectrum path with depth-scaled tolerances
+    # the §5.7 scaling extensions: 65536 = (256, 256), 131072 =
+    # (256, 512) and 262144 = (512, 512), half-spectrum path with
+    # depth-scaled tolerances
     validate_deposits(65536)
     validate_deposits(131072, b=2)
+    validate_deposits(262144, b=2)
 
 
 def test_pipeline_scatter_backends_agree_on_tpu():
