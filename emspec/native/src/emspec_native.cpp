@@ -216,6 +216,15 @@ EmspecWav* emspec_wav_read(const char* path) {
     if (!data_p || channels == 0 || rate == 0 ||
         (fmt_tag != 1 && fmt_tag != 3)) { free(raw); return nullptr; }
 
+    // reject depths the sample loop can't decode — otherwise an exotic
+    // bit depth (12/20/float16...) silently decodes to all-zero audio;
+    // returning nullptr routes the file to the Python fallback, which
+    // raises a clear "unsupported sample width" error instead
+    const bool supported =
+        (fmt_tag == 3 && bits == 32) ||
+        (fmt_tag == 1 && (bits == 8 || bits == 16 || bits == 24 ||
+                          bits == 32));
+    if (!supported) { free(raw); return nullptr; }
     const int64_t bytes_per = bits / 8;
     if (bytes_per == 0) { free(raw); return nullptr; }
     const int64_t nsamp = data_len / (bytes_per * channels);

