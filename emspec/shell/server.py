@@ -197,7 +197,13 @@ class ShellServer:
                             break
                         time.sleep(1.0 / 30.0)
                 elif url.path == "/api/hover":
-                    frac = float(q.get("frac", ["0"])[0])
+                    try:
+                        frac = float(q.get("frac", ["0"])[0])
+                    except ValueError:
+                        self._json({"error": "frac must be a number"}, 400)
+                        return
+                    if not np.isfinite(frac):
+                        frac = 0.0
                     rows = app.settings.raster_height
                     row = int(np.clip(round(frac * (rows - 1)), 0, rows - 1))
                     with shell.lock:

@@ -83,6 +83,12 @@ def test_settings_contract_over_http(shell):
 def test_hover_tooltip(shell):
     txt = _get(shell, "/api/hover?frac=0.5").decode()
     assert "Hz" in txt and "¢" in txt
+    # garbage / non-finite params: clean 400 or a safe default, never a
+    # dropped connection from an unhandled ValueError in the handler
+    with pytest.raises(urllib.error.HTTPError):
+        _get(shell, "/api/hover?frac=abc")
+    assert b"Hz" in _get(shell, "/api/hover?frac=nan")
+    assert b"Hz" in _get(shell, "/api/hover?frac=inf")
 
 
 def test_on_top_flag(shell):
