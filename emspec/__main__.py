@@ -34,6 +34,22 @@ def _add_settings_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--hop", type=int, default=0, help="hop in samples (0 = fft_size/4)")
 
 
+def _pick_channel(audio, channel) -> int:
+    """Validate a --channel index against the decoded audio: a clear
+    usage error (via main()'s ValueError boundary), not an IndexError
+    traceback."""
+    try:
+        c = int(channel)
+    except ValueError:
+        raise ValueError(
+            f"--channel must be an integer or 'all', got {channel!r}")
+    if not 0 <= c < audio.shape[0]:
+        raise ValueError(
+            f"--channel {c} out of range: the file has {audio.shape[0]} "
+            f"channel(s) (0..{audio.shape[0] - 1}, or 'all')")
+    return c
+
+
 def _settings_from(args, sample_rate: int, channels: int = 1,
                    multires_default: bool = False):
     from emspec.config import Settings
@@ -74,7 +90,7 @@ def cmd_render(args) -> int:
         print(f"{args.output}: {img.shape[1]}x{img.shape[0]} px, "
               f"{audio.shape[0]} channels tiled, mode={s.mode}, sr={rate}")
         return 0
-    x = audio[int(args.channel)]
+    x = audio[_pick_channel(audio, args.channel)]
     if s.multires:
         from emspec.pipeline import render_image_multires
         img = render_image_multires(x, s)
@@ -106,7 +122,9 @@ def cmd_stream(args) -> int:
     wfs = [Waterfall(args.width, s.raster_height, s.scroll_speed,
                      lut_table=lut(s.colormap))
            for _ in range(nch)]
-    x = audio if tiled else audio[0 if args.channel == "all" else int(args.channel)]
+    x = (audio if tiled else
+         audio[0 if args.channel == "all"
+               else _pick_channel(audio, args.channel)])
     n_cols = 0
     def paint(col):
         one = col.rgba.ndim == 2

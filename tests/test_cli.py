@@ -61,6 +61,19 @@ def test_cli_clean_errors_for_user_mistakes(tmp_path, capsys):
     assert "no preset named 'Nope'" in capsys.readouterr().err
 
 
+def test_render_cli_rejects_bad_channel(tmp_path, capsys):
+    wav = str(tmp_path / "mono.wav")
+    write_wav(wav, synth.tone(440.0, 0.3), 48_000)
+    rc = main(["render", wav, str(tmp_path / "o.png"),
+               "--fft-size", "1024", "--channel", "5"])
+    assert rc == 2
+    assert "out of range" in capsys.readouterr().err
+    rc = main(["render", wav, str(tmp_path / "o.png"),
+               "--fft-size", "1024", "--channel", "left"])
+    assert rc == 2
+    assert "'all'" in capsys.readouterr().err
+
+
 def test_render_cli_writes_png(tmp_path, capsys):
     wav = tmp_path / "t.wav"
     write_wav(wav, synth.tone(440.0, 0.2), 48_000)
