@@ -171,11 +171,7 @@ def cmd_live(args) -> int:
 
 def cmd_note(args) -> int:
     from emspec.utils.notes import describe_frequency
-    try:
-        print(describe_frequency(args.freq))
-    except ValueError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    print(describe_frequency(args.freq))   # ValueError → main()'s boundary
     return 0
 
 
@@ -189,9 +185,16 @@ def cmd_presets(args) -> int:
         for name in store.names():
             print(name)
     elif args.action == "show":
-        print(json.dumps(store.get(args.name).to_dict(), indent=2, sort_keys=True))
+        try:
+            preset = store.get(args.name)
+        except KeyError:
+            raise ValueError(f"no preset named {args.name!r}") from None
+        print(json.dumps(preset.to_dict(), indent=2, sort_keys=True))
     elif args.action == "delete":
-        store.delete(args.name)
+        try:
+            store.delete(args.name)
+        except KeyError:
+            raise ValueError(f"no preset named {args.name!r}") from None
     elif args.action in ("add", "edit"):
         exists = args.name in store.names()
         if args.action == "add" and exists:
@@ -393,9 +396,6 @@ def main(argv=None) -> int:
         # user-facing: missing WAV/preset file is a usage error, not a
         # traceback (verify-drive finding, round 3)
         print(f"error: file not found: {e.filename or e}", file=sys.stderr)
-        return 2
-    except KeyError as e:
-        print(f"error: no preset named {e.args[0]!r}", file=sys.stderr)
         return 2
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)

@@ -30,36 +30,43 @@ def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
     return _read_wav_py(path)
 
 
-def _fmt_tag(path: str | Path) -> int | None:
-    """RIFF fmt-chunk walk → WAVE format tag (1 = PCM, 3 = IEEE float;
-    WAVE_FORMAT_EXTENSIBLE resolves through the SubFormat GUID), or None
-    if the container can't be parsed.  Mirrors the native decoder's chunk
-    walk so 32-bit PCM vs float32 is decided by the header, not by value
-    sniffing (a PCM32 file whose bytes decode to small finite floats must
-    not be misread as float data)."""
+def _fmt_info(path: str | Path) -> tuple[int | None, int | None]:
+    """RIFF fmt-chunk walk → (format tag, bits per sample) — tag 1 = PCM,
+    3 = IEEE float; WAVE_FORMAT_EXTENSIBLE resolves through the SubFormat
+    GUID — or (None, None) if the container can't be parsed.  Mirrors the
+    native decoder's chunk walk so 32-bit PCM vs float32 is decided by
+    the header, not by value sniffing (a PCM32 file whose bytes decode to
+    small finite floats must not be misread as float data), and so exotic
+    bit depths (12/20/float16…) are rejected instead of silently decoded
+    at the nearest byte width."""
     import struct
     try:
         with open(path, "rb") as f:
             riff, _size, wave_id = struct.unpack("<4sI4s", f.read(12))
             if riff != b"RIFF" or wave_id != b"WAVE":
-                return None
+                return None, None
             while True:
                 hdr = f.read(8)
                 if len(hdr) < 8:
-                    return None
+                    return None, None
                 cid, csize = struct.unpack("<4sI", hdr)
                 if cid == b"fmt ":
                     body = f.read(min(csize, 40))
-                    if len(body) < 2:
-                        return None
+                    if len(body) < 16:
+                        return None, None
                     tag = struct.unpack("<H", body[:2])[0]
+                    bits = struct.unpack("<H", body[14:16])[0]
                     if tag == 0xFFFE and len(body) >= 26:
                         # extensible: real tag = first 2 bytes of SubFormat
                         tag = struct.unpack("<H", body[24:26])[0]
-                    return tag
+                    return tag, bits
                 f.seek(csize + (csize & 1), 1)      # chunks are word-aligned
     except (OSError, struct.error):
-        return None
+        return None, None
+
+
+def _fmt_tag(path: str | Path) -> int | None:
+    return _fmt_info(path)[0]
 
 
 def _read_wav_manual(path: str | Path) -> tuple[int, int, int, bytes, int]:
@@ -98,6 +105,17 @@ def _read_wav_manual(path: str | Path) -> tuple[int, int, int, bytes, int]:
 
 
 def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
+    hdr_tag, hdr_bits = _fmt_info(path)
+    if hdr_bits is not None:
+        # reject depths no decode branch handles BEFORE stdlib wave rounds
+        # them to the nearest byte width (a 12-bit or float16 file would
+        # otherwise "decode" as garbage int16 PCM)
+        if hdr_bits not in (8, 16, 24, 32, 64):
+            raise ValueError(f"unsupported WAV bit depth: {hdr_bits}")
+        if hdr_tag == 3 and hdr_bits not in (32, 64):
+            raise ValueError(
+                f"unsupported float WAV bit depth: {hdr_bits} "
+                f"(only float32/float64 supported)")
     tag = None
     try:
         with wave.open(str(path), "rb") as w:
@@ -148,9 +166,12 @@ def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
     x = np.asarray(samples, dtype=np.float32)
     if x.ndim == 1:
         x = x[None, :]
-    if x.ndim != 2 or x.shape[0] > 64:
+    if (x.ndim != 2 or x.shape[0] > 65535          # wave's real limit
+            or x.shape[0] > max(64, x.shape[1])):  # channels ≫ samples
         # a (n, channels) array passed by mistake otherwise surfaces as a
-        # struct overflow deep inside the wave module
+        # struct overflow deep inside the wave module; >64ch is only
+        # flagged when the layout is clearly transposed (more "channels"
+        # than samples), so wide mic-array captures still write
         raise ValueError(
             f"write_wav expects (channels, n) or (n,) samples, got shape "
             f"{np.shape(samples)} — transpose a (n, channels) array")

@@ -84,11 +84,17 @@ def test_write_read_roundtrip_public_api(tmp_path):
 
 def test_write_wav_rejects_samples_major_layout(tmp_path):
     """A (n, channels) array passed by mistake must raise a clear
-    ValueError, not a struct overflow deep inside the wave module."""
+    ValueError, not a struct overflow deep inside the wave module —
+    while genuinely wide (channels, n) captures still write."""
     import pytest
-    x = np.zeros((1000, 2), np.float32)            # wrong orientation
     with pytest.raises(ValueError, match="transpose"):
-        write_wav(tmp_path / "bad.wav", x, 48_000)
+        write_wav(tmp_path / "bad.wav", np.zeros((1000, 2), np.float32), 48_000)
+    with pytest.raises(ValueError, match="transpose"):
+        write_wav(tmp_path / "bad.wav", np.zeros((70_000, 8), np.float32), 48_000)
+    # a 96-channel mic-array capture is legitimate
+    write_wav(tmp_path / "wide.wav", np.zeros((96, 2000), np.float32), 48_000)
+    got, _ = read_wav(tmp_path / "wide.wav")
+    assert got.shape == (96, 2000)
 
 
 def _valid_wav_bytes() -> bytes:
@@ -138,19 +144,24 @@ def test_read_wav_malformed_never_crashes(tmp_path):
         except Exception as e:                 # clean Python exception only
             assert not isinstance(e, (SystemExit, KeyboardInterrupt))
             continue
+        # shape sanity only: a mutation may legitimately flip the header
+        # to float32 and decode garbage bytes as inf/nan VALUES — the
+        # contract here is decoder safety, not value plausibility
         assert data.ndim == 2 and data.dtype == np.float32, f"case {i}"
-        assert np.all(np.isfinite(data) | np.isnan(data)) or True
+        assert 1 <= data.shape[0] <= 65535, f"case {i}"
 
 
-def test_native_rejects_exotic_bit_depth(tmp_path):
-    """A 12-bit PCM header must be rejected (falling back to the Python
-    path's clear error), not silently decoded as all-zero audio."""
-    from emspec.native import lib as native
-    if not native.available():
-        pytest.skip("native library not built")
-    m = bytearray(_valid_wav_bytes())
-    m[34:36] = (12).to_bytes(2, "little")
-    p = tmp_path / "bits12.wav"
-    p.write_bytes(bytes(m))
-    with pytest.raises(ValueError):
-        native.read_wav(p)
+def test_exotic_bit_depths_rejected_end_to_end(tmp_path):
+    """Exotic bit depths (12-bit PCM, float16) must raise a clear error
+    through the PUBLIC read_wav — native decoder rejects, and the Python
+    fallback must NOT then round them to the nearest byte width and
+    decode garbage int16 PCM."""
+    for bits, tag, name in ((12, 1, "bits12"), (16, 3, "float16"),
+                            (20, 1, "bits20")):
+        m = bytearray(_valid_wav_bytes())
+        m[20:22] = int(tag).to_bytes(2, "little")
+        m[34:36] = int(bits).to_bytes(2, "little")
+        p = tmp_path / f"{name}.wav"
+        p.write_bytes(bytes(m))
+        with pytest.raises(ValueError, match="unsupported"):
+            read_wav(p)
