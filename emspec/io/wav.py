@@ -3,7 +3,8 @@
 The reference taps live system audio (reference: README.md:36); the rebuild's
 ingest contract is WAV files and synthetic signals fed through the same
 ring-buffer interface [NS configs[0]: "Mono 48 kHz WAV"].  Pure stdlib
-``wave`` + numpy — supports PCM 16/24/32-bit and float32, any channel count.
+``wave`` + numpy — supports PCM 8/16/24/32-bit and float32/float64, any
+sane channel count; exotic bit depths are rejected with a clear error.
 Samples are returned as float32 in [-1, 1), shape (channels, samples).
 """
 
@@ -63,10 +64,6 @@ def _fmt_info(path: str | Path) -> tuple[int | None, int | None]:
                 f.seek(csize + (csize & 1), 1)      # chunks are word-aligned
     except (OSError, struct.error):
         return None, None
-
-
-def _fmt_tag(path: str | Path) -> int | None:
-    return _fmt_info(path)[0]
 
 
 def _read_wav_manual(path: str | Path) -> tuple[int, int, int, bytes, int]:
@@ -135,7 +132,7 @@ def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
         # resolved it); value sniffing (float32 audio stays within [-4, 4])
         # remains only as a last resort for broken headers.
         if tag is None:
-            tag = _fmt_tag(path)
+            tag = hdr_tag             # from the walk done at entry
         if tag is None:
             as_f = np.frombuffer(raw, dtype="<f4")
             tag = 3 if (as_f.size and np.all(np.isfinite(as_f))
@@ -153,7 +150,7 @@ def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
         data = i32.astype(np.float32) / 8388608.0
     elif width == 1:
         data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif width == 8 and (tag or _fmt_tag(path)) == 3:
+    elif width == 8 and (tag or hdr_tag) == 3:
         data = np.frombuffer(raw, dtype="<f8").astype(np.float32)
     else:
         raise ValueError(f"unsupported WAV sample width: {width}")
