@@ -53,3 +53,14 @@ s = Settings(mode="enhanced", multires=True, raster_height=512, gain=5.0)
 img = render_image_multires(x, s)
 write_png("docs/assets/demo_enhanced_multires.png", img)
 print("wrote docs/assets/demo_enhanced_multires.png", img.shape)
+
+# side-by-side argument for reassignment: the same scene and settings,
+# natural (plain STFT) on top, enhanced (reassigned) below — the
+# rebuild's analog of the reference's before/after pitch (README.md:11
+# "sharper spectral detail")
+nat = render_image_multires(x, Settings(mode="natural", multires=True,
+                                        raster_height=512, gain=5.0))
+div = np.full((6, img.shape[1], 4), (40, 40, 40, 255), np.uint8)
+pair = np.concatenate([np.asarray(nat), div, np.asarray(img)], axis=0)
+write_png("docs/assets/demo_natural_vs_enhanced.png", pair)
+print("wrote docs/assets/demo_natural_vs_enhanced.png", pair.shape)
