@@ -12,6 +12,15 @@ import json
 import sys
 
 
+class UsageError(ValueError):
+    """A user-input mistake that should surface as one stderr line + rc 2.
+
+    Only this type is swallowed by main()'s boundary — an arbitrary
+    ValueError raised deep in the pipeline/jax keeps its traceback
+    (round-3 advisor finding: the blanket ``except ValueError`` hid
+    genuine bugs behind a fake usage error)."""
+
+
 def _add_settings_args(p: argparse.ArgumentParser) -> None:
     from emspec.config import COLORMAPS, FFT_SIZES
     p.add_argument("--fft-size", type=int, default=4096, choices=FFT_SIZES)
@@ -36,15 +45,16 @@ def _add_settings_args(p: argparse.ArgumentParser) -> None:
 
 def _pick_channel(audio, channel) -> int:
     """Validate a --channel index against the decoded audio: a clear
-    usage error (via main()'s ValueError boundary), not an IndexError
+    usage error (via main()'s UsageError boundary), not an IndexError
     traceback."""
     try:
         c = int(channel)
     except ValueError:
-        raise ValueError(
-            f"--channel must be an integer or 'all', got {channel!r}")
+        raise UsageError(
+            f"--channel must be an integer or 'all', got {channel!r}") \
+            from None
     if not 0 <= c < audio.shape[0]:
-        raise ValueError(
+        raise UsageError(
             f"--channel {c} out of range: the file has {audio.shape[0]} "
             f"channel(s) (0..{audio.shape[0] - 1}, or 'all')")
     return c
@@ -55,15 +65,19 @@ def _settings_from(args, sample_rate: int, channels: int = 1,
     from emspec.config import Settings
     multires = (args.multires if args.multires is not None
                 else multires_default)
-    return Settings(
-        fft_size=args.fft_size, mode=args.mode, colormap=args.colormap,
-        db_range=args.db_range, gain=args.gain, brightness=args.brightness,
-        noise_gate_db=args.noise_gate_db, agc_strength=args.agc_strength,
-        auto_gain=not args.no_auto_gain, smoothing=args.smoothing,
-        low_end_boost=args.low_end_boost, freq_scale=args.freq_scale,
-        multires=multires, hop=args.hop,
-        sample_rate=sample_rate, channels=channels,
-    )
+    try:
+        return Settings(
+            fft_size=args.fft_size, mode=args.mode, colormap=args.colormap,
+            db_range=args.db_range, gain=args.gain, brightness=args.brightness,
+            noise_gate_db=args.noise_gate_db, agc_strength=args.agc_strength,
+            auto_gain=not args.no_auto_gain, smoothing=args.smoothing,
+            low_end_boost=args.low_end_boost, freq_scale=args.freq_scale,
+            multires=multires, hop=args.hop,
+            sample_rate=sample_rate, channels=channels,
+        )
+    except ValueError as e:
+        # Settings validation of CLI flag values is user input
+        raise UsageError(str(e)) from None
 
 
 def cmd_render(args) -> int:
@@ -171,7 +185,10 @@ def cmd_live(args) -> int:
 
 def cmd_note(args) -> int:
     from emspec.utils.notes import describe_frequency
-    print(describe_frequency(args.freq))   # ValueError → main()'s boundary
+    try:
+        print(describe_frequency(args.freq))
+    except ValueError as e:               # e.g. freq ≤ 0: user input
+        raise UsageError(str(e)) from None
     return 0
 
 
@@ -188,13 +205,15 @@ def cmd_presets(args) -> int:
         try:
             preset = store.get(args.name)
         except KeyError:
-            raise ValueError(f"no preset named {args.name!r}") from None
+            raise UsageError(f"no preset named {args.name!r}") from None
         print(json.dumps(preset.to_dict(), indent=2, sort_keys=True))
     elif args.action == "delete":
         try:
             store.delete(args.name)
         except KeyError:
-            raise ValueError(f"no preset named {args.name!r}") from None
+            raise UsageError(f"no preset named {args.name!r}") from None
+        except ValueError as e:           # Default-delete guard
+            raise UsageError(str(e)) from None
     elif args.action in ("add", "edit"):
         exists = args.name in store.names()
         if args.action == "add" and exists:
@@ -290,6 +309,12 @@ def cmd_bench(args) -> int:
 
 def main(argv=None) -> int:
     from emspec import __version__
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        # launch-UX parity [OBS: README.md:35-36 "Launch EM-Spec; the
+        # spectrogram will automatically start visualizing your system
+        # audio"]: a bare launch opens the window shell on auto capture
+        argv = ["gui"]
     ap = argparse.ArgumentParser(prog="emspec",
                                  description="TPU-native streaming spectrogram framework")
     ap.add_argument("--version", action="version",
@@ -397,7 +422,7 @@ def main(argv=None) -> int:
         # traceback (verify-drive finding, round 3)
         print(f"error: file not found: {e.filename or e}", file=sys.stderr)
         return 2
-    except ValueError as e:
+    except UsageError as e:
         print(f"error: {e}", file=sys.stderr)
         return 2
 

@@ -107,7 +107,10 @@ class StreamingResampler:
         self._mono = mono                # flush() mirrors the fed shape
         self._channels = x.shape[0]
         if self.identity:
-            return chunk if isinstance(chunk, np.ndarray) else x
+            # normalized (float32, fed rank) — NOT the raw chunk object:
+            # a float64 array or list input must still honor the output
+            # contract (round-3 advisor finding)
+            return x[0] if mono else x
         c, k = x.shape
         if self._tail is None:
             self._tail = np.zeros((c, self.taps - 1), np.float32)

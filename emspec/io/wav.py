@@ -158,20 +158,34 @@ def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(data.reshape(-1, nch).T), rate
 
 
-def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int) -> None:
-    """Write float32 (channels, n) or (n,) samples as 16-bit PCM WAV."""
+def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int,
+              channels_first: bool | None = None) -> None:
+    """Write float32 (channels, n) or (n,) samples as 16-bit PCM WAV.
+
+    ``channels_first``: ``None`` (default) keeps the layout heuristic —
+    a buffer with more "channels" than samples is rejected as a probably
+    transposed (n, channels) array, which otherwise surfaces as a struct
+    overflow deep inside the wave module.  A legitimately wide-but-short
+    capture (e.g. a (128, 100) mic array) passes ``channels_first=True``
+    to assert its layout; ``channels_first=False`` declares the input is
+    (n, channels) and transposes it here."""
     x = np.asarray(samples, dtype=np.float32)
     if x.ndim == 1:
         x = x[None, :]
-    if (x.ndim != 2 or x.shape[0] > 65535          # wave's real limit
-            or x.shape[0] > max(64, x.shape[1])):  # channels ≫ samples
-        # a (n, channels) array passed by mistake otherwise surfaces as a
-        # struct overflow deep inside the wave module; >64ch is only
-        # flagged when the layout is clearly transposed (more "channels"
-        # than samples), so wide mic-array captures still write
+    if channels_first is False and x.ndim == 2:
+        x = np.ascontiguousarray(x.T)
+    if (channels_first is None and x.ndim == 2
+            and x.shape[0] > max(64, x.shape[1])):
+        # channels ≫ samples: flagged only when the layout is clearly
+        # transposed, so ordinary wide mic-array captures still write
         raise ValueError(
             f"write_wav expects (channels, n) or (n,) samples, got shape "
-            f"{np.shape(samples)} — transpose a (n, channels) array")
+            f"{np.shape(samples)} — transpose a (n, channels) array, or "
+            f"pass channels_first=True to assert this layout")
+    if x.ndim != 2 or x.shape[0] > 65535:          # wave's real limit
+        raise ValueError(
+            f"write_wav expects (channels, n) or (n,) samples, got shape "
+            f"{np.shape(samples)}")
     pcm = np.clip(x.T * 32767.0, -32768, 32767).astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(x.shape[0])

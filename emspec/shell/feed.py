@@ -95,6 +95,9 @@ class AudioFeeder:
 
     # -------------------------------------------------------------- control
     def start(self) -> None:
+        # re-arm after a previous stop(): without this a restarted WAV
+        # feeder's loop would exit immediately and silently feed nothing
+        self._stop.clear()
         if self.source == "wav":
             x_all, rate = self._load_wav()
             self._thread = threading.Thread(

@@ -124,6 +124,13 @@ function buildPanel(meta) {
     const o = document.createElement("option"); o.value=o.textContent=n;
     el("colormap").appendChild(o);
   }
+  if (meta.on_top_supported === false) {
+    // honest affordance: a browser tab can't be topmost — only the
+    // native window (emspec gui --native) honors On-Top
+    const b = el("on_top");
+    b.disabled = true; b.onclick = null; b.style.opacity = 0.45;
+    b.title = "Always-On-Top needs the native window: emspec gui --native";
+  }
   const holder = el("sliders");
   for (const [f, lo, hi, st, fmt] of SLIDERS) {
     const lab = document.createElement("label");

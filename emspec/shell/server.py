@@ -146,6 +146,12 @@ class ShellServer:
                                 "backend": jax.default_backend(),
                                 "fft_sizes": list(FFT_SIZES),
                                 "colormaps": list(COLORMAPS),
+                                # a browser tab can't be topmost: only the
+                                # native tkinter window honors On-Top
+                                # (README.md:13); surfaced so the page
+                                # disables the button instead of silently
+                                # accepting the click (round-3 VERDICT)
+                                "on_top_supported": False,
                                 "update": shell.update_check.notice})
                 elif url.path == "/api/settings":
                     self._json(app.settings.to_dict())

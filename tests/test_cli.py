@@ -136,3 +136,29 @@ def test_note_cli_rejects_nonpositive_frequency(capsys):
     assert "positive" in capsys.readouterr().err
     rc = main(["note", "443"])
     assert rc == 0
+
+
+def test_bare_invocation_defaults_to_gui(monkeypatch):
+    """Launch-UX parity [OBS: README.md:35-36]: bare ``emspec`` opens the
+    window shell on auto capture instead of printing argparse help."""
+    import emspec.__main__ as m
+    seen = {}
+    monkeypatch.setattr(m, "cmd_gui", lambda args: seen.update(
+        backend=args.backend, input=args.input) or 0)
+    assert m.main([]) == 0
+    assert seen == {"backend": "auto", "input": None}
+
+
+def test_internal_valueerror_is_not_swallowed(monkeypatch, tmp_path):
+    """Only UsageError becomes a one-line rc-2 message; an arbitrary
+    ValueError from deep inside the pipeline keeps its traceback
+    (round-3 advisor finding)."""
+    import pytest
+
+    import emspec.__main__ as m
+    monkeypatch.setattr(
+        m, "cmd_render",
+        lambda args: (_ for _ in ()).throw(ValueError("internal bug")))
+    # rebuild dispatch: set_defaults reads the module global at parse time
+    with pytest.raises(ValueError, match="internal bug"):
+        m.main(["render", "a.wav", "b.png"])

@@ -61,3 +61,37 @@ def test_ring_push_survives_structural_stream_swap():
     f.app.stream = SimpleNamespace(channels=1, ring=ring2)  # settings change
     f._ring_push(np.zeros((2, 16), np.float32))
     assert ring2.chunks[-1].shape == (16,)
+
+
+def test_wav_feeder_restarts_after_stop(tmp_path):
+    """stop() then start() must re-arm the stop event: a restarted WAV
+    feeder previously launched a thread whose loop exited immediately,
+    silently feeding nothing (round-3 advisor finding)."""
+    import time
+
+    from emspec.io.wav import write_wav
+
+    wav = tmp_path / "loop.wav"
+    write_wav(wav, np.sin(np.arange(4800) / 5.0).astype(np.float32), 48_000)
+    ring = FakeRing()
+    app = SimpleNamespace(
+        settings=SimpleNamespace(sample_rate=48_000, channels=1,
+                                 display_channel=0),
+        stream=SimpleNamespace(channels=1, ring=ring))
+    f = AudioFeeder(app, source="wav", wav_path=str(wav))
+
+    def wait_chunks(n, timeout=5.0):
+        t0 = time.time()
+        while len(ring.chunks) < n and time.time() - t0 < timeout:
+            time.sleep(0.01)
+        return len(ring.chunks)
+
+    f.start()
+    assert wait_chunks(1) >= 1
+    f.stop()
+    mark = len(ring.chunks)
+    time.sleep(0.1)                      # loop really stopped
+    assert len(ring.chunks) - mark <= 1  # at most one in-flight block
+    f.start()
+    assert wait_chunks(mark + 2) >= mark + 2   # feeding again
+    f.stop()

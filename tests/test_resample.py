@@ -211,3 +211,17 @@ def test_flush_shape_matches_fed_shape():
     f = rs.flush()
     assert f.shape == (2, 0)
     np.concatenate([y, f], axis=-1)
+
+
+def test_identity_path_normalizes_like_resampling_path():
+    """The 1:1 fast path must still honor the float32/(fed rank) output
+    contract for float64 or list input (round-3 advisor finding: it
+    returned the raw chunk object as-is)."""
+    r = StreamingResampler(48_000, 48_000)
+    out = r.process(np.arange(8, dtype=np.float64))
+    assert out.dtype == np.float32 and out.shape == (8,)
+    out = r.process([0.0, 1.0, 2.0])          # list input, mono rank
+    assert isinstance(out, np.ndarray)
+    assert out.dtype == np.float32 and out.shape == (3,)
+    out = r.process(np.zeros((2, 16), np.float64))
+    assert out.dtype == np.float32 and out.shape == (2, 16)

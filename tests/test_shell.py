@@ -261,3 +261,14 @@ def test_settings_churn_under_live_drain(shell):
     s = json.loads(_get(shell, "/api/settings"))
     assert len(raw) == 128 * 256 * 4 + 8  # rows*width*4 + header
     assert s["fft_size"] in (512, 1024, 2048)
+
+
+def test_on_top_surfaced_as_native_only(shell):
+    """Honest affordance (round-3 VERDICT #7): the web shell advertises
+    that it cannot honor On-Top, and the page disables the button with a
+    native-window tooltip instead of silently accepting the click."""
+    meta = json.loads(_get(shell, "/api/meta"))
+    assert meta["on_top_supported"] is False
+    page = _get(shell, "/").decode()
+    assert "on_top_supported" in page
+    assert "disabled" in page and "--native" in page

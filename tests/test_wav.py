@@ -165,3 +165,21 @@ def test_exotic_bit_depths_rejected_end_to_end(tmp_path):
         p.write_bytes(bytes(m))
         with pytest.raises(ValueError, match="unsupported"):
             read_wav(p)
+
+
+def test_write_wav_channels_first_escape_hatch(tmp_path):
+    """A legitimately wide-but-short (channels, n) capture asserts its
+    layout with channels_first=True; channels_first=False declares
+    (n, channels) input and transposes it here (round-3 advisor
+    finding: the heuristic alone rejected valid 128ch x 100 buffers)."""
+    import pytest
+    x = np.zeros((128, 100), np.float32)
+    with pytest.raises(ValueError, match="transpose"):
+        write_wav(tmp_path / "no.wav", x, 48_000)      # heuristic default
+    write_wav(tmp_path / "yes.wav", x, 48_000, channels_first=True)
+    got, _ = read_wav(tmp_path / "yes.wav")
+    assert got.shape == (128, 100)
+    y = np.zeros((1000, 2), np.float32)                # (n, channels)
+    write_wav(tmp_path / "t.wav", y, 48_000, channels_first=False)
+    got, _ = read_wav(tmp_path / "t.wav")
+    assert got.shape == (2, 1000)
