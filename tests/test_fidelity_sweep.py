@@ -78,14 +78,18 @@ def test_stress_config_shape_16ch_96k():
     assert len(set(rows)) > 10
 
 
-def test_dryrun_multichip_smoke():
-    """The driver's multi-chip dry run must pass on the virtual 8-device
-    CPU mesh (SURVEY.md §2.5 channel-sharding seam + global-AGC collective)."""
+@pytest.mark.parametrize("n", [2, 8])
+def test_dryrun_multichip_smoke(n):
+    """The driver's multi-chip dry run must pass on the virtual CPU mesh
+    at BOTH n=2 and n=8 (SURVEY.md §2.5 channel-sharding seam +
+    global-AGC collective; round-3 VERDICT #3c).  Since round 4 the
+    dryrun is self-verifying: it numerically compares the sharded batch
+    + streaming outputs against a single-device run and asserts
+    per-device shard shapes scale as ch/n."""
     import jax
     import sys
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
-    n = min(8, len(jax.devices()))
-    if n < 2:
-        pytest.skip("needs >1 device")
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} devices")
     g.dryrun_multichip(n)

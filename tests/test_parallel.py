@@ -217,3 +217,42 @@ def test_sharded_stream_npz_checkpoint_roundtrip(tmp_path):
         assert oa[0] == ob[0]
         np.testing.assert_allclose(np.asarray(oa[1]), np.asarray(ob[1]),
                                    atol=1e-6)
+
+
+@needs_mesh
+def test_sharded_step_partitions_buffers_as_ch_over_n():
+    """Replication-proof (round-3 VERDICT #3b): the collective-structure
+    pin alone would pass on a silently fully-replicated program.  Assert
+    the compiled step's per-device parameter and output buffers really
+    scale as ch/n — via the compiled input shardings' shard shapes AND
+    the runtime shards of the live carry/window/column buffers."""
+    from emspec.parallel import ShardedStream
+
+    n_dev = len(jax.devices())
+    s = _settings(channels=n_dev, agc_global=True)
+    mesh = channel_mesh()
+    st = ShardedStream(s, mesh)
+    per = s.channels // n_dev
+    n_max, rows = st.pipe.n_max, st.pipe.rows
+
+    window = jax.device_put(np.zeros((n_dev, n_max), np.float32),
+                            st._sh_window)
+    # compiled parameter shardings: the window must shard to (ch/n, n_max)
+    compiled = st._step.lower(st._carry, window, st.params).compile()
+    (carry_sh, window_sh, _), _ = compiled.input_shardings
+    assert window_sh.shard_shape((n_dev, n_max)) == (per, n_max)
+    acc_global = st._carry[1].shape                  # (P, ch, rows)
+    assert carry_sh[1].shard_shape(acc_global) \
+        == (acc_global[0], per, acc_global[2])
+
+    # runtime buffers: carry ring, window, and the emitted column all
+    # hold exactly one ch/n slice per device
+    assert {sh.data.shape for sh in st._carry[1].addressable_shards} \
+        == {(acc_global[0], per, acc_global[2])}
+    carry, (vis, rgba, _) = st._step(st._carry, window, st.params)
+    st._carry = carry
+    assert {sh.data.shape for sh in vis.addressable_shards} \
+        == {(per, rows)}
+    assert {sh.data.shape for sh in rgba.addressable_shards} \
+        == {(per, rows, 4)}
+    assert len(vis.addressable_shards) == n_dev
