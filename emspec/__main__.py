@@ -288,6 +288,15 @@ def cmd_bench(args) -> int:
         }
         print(json.dumps(report, indent=2))
         return 0
+    if args.soak:
+        # long-running leak soak on the product path (L1→L4 + live shell
+        # + settings/preset churn thread) — RSS/device-mem/keep-up slopes
+        from emspec.bench.soak import soak
+        report = soak(seconds=args.duration or 600.0)
+        if args.quick:
+            report.pop("raw", None)
+        print(json.dumps(report, indent=2))
+        return 0
     if args.sustained:
         # product-level north-star check [NS: "sustain 60 fps"]: the whole
         # L1→L4 stack against wall clock — capture thread → ring →
@@ -410,8 +419,13 @@ def main(argv=None) -> int:
                          "capture thread → ring → streaming step → "
                          "waterfall, drained at 60 Hz (the north-star "
                          "'sustain 60 fps' as a product-level measurement)")
+    pb.add_argument("--soak", action="store_true",
+                    help="long leak soak: live shell + settings/preset "
+                         "churn thread, tracking RSS / device memory / "
+                         "keep-up drift (default 600 s; see --duration)")
     pb.add_argument("--duration", type=float, default=0.0,
-                    help="seconds per --sustained run (default 8)")
+                    help="seconds per --sustained or --soak run "
+                         "(defaults 8 / 600)")
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

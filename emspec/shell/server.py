@@ -53,6 +53,7 @@ class ShellServer:
         # columns landed; /api/stream connections wait on the condition
         self._frame_seq = 0
         self._frame_cv = threading.Condition()
+        self.columns_emitted = 0     # lifetime drain total (soak metric)
         from emspec.shell.feed import AudioFeeder
         self.feeder = AudioFeeder(self.app, source=source, wav_path=wav_path,
                                   lock=self.lock)
@@ -75,6 +76,7 @@ class ShellServer:
                          else np.zeros(0, np.float32))
                 emitted = self.app.push_audio(empty)
             if emitted:
+                self.columns_emitted += emitted
                 with self._frame_cv:
                     self._frame_seq += 1
                     self._frame_cv.notify_all()

@@ -232,3 +232,32 @@ def test_sustained_display_keeps_up(tmp_path):
     # (dead thread, ring mis-sizing, paused stream) lands near zero
     assert rep["keepup_ratio"] > 0.5, rep
     assert rep["p99_drain_gap_ms"] < 1000.0, rep
+
+
+def test_soak_plumbing_short(tmp_path):
+    """The leak-soak harness (round-3 VERDICT #5) end to end at CPU test
+    scale: live shell + churn thread run, counters advance, slopes and
+    keep-up fields are finite, and the churn thread reports no HTTP
+    errors against the live settings/preset surface."""
+    from emspec.bench.soak import soak
+    from emspec.config import Settings
+
+    s = Settings(mode="natural", multires=False, fft_size=1024,
+                 raster_height=64, raster_width=128, hop=512)
+    rep = soak(s, seconds=3.0, sample_every=0.5, user_dir=tmp_path)
+    assert rep["samples"] >= 4
+    assert rep["columns_emitted"] > 0
+    assert np.isfinite(rep["rss_slope_mb_per_min"])
+    assert rep["churn"]["settings"] > 0
+    assert rep["churn"]["presets"] > 0
+    assert rep["churn"]["errors"] == 0, rep["churn"]
+    assert np.isfinite(rep["keepup_second_half"])
+
+
+def test_fetch_throughput_measured_positive():
+    """The derived local-host latency (round-3 VERDICT #4) composes
+    device hop + column-bytes / measured D2H rate; the rate measurement
+    must return a positive, finite GB/s on any backend."""
+    from emspec.bench.harness import _fetch_throughput_gbs
+    gbs = _fetch_throughput_gbs(reps=3)
+    assert np.isfinite(gbs) and gbs > 0
