@@ -281,8 +281,9 @@ def _fetch_throughput_gbs(reps: int = 5) -> float:
 
 
 def _device_scan_ms_per_hop(settings, k: int = 512, reps: int = 5) -> float:
-    """Per-hop device cost of the exact streaming step, measured by
-    scanning ``_stream_step`` over k staged windows inside ONE jit call —
+    """Per-hop device cost of the exact PRODUCTION streaming step —
+    ``_stream_step_rolling`` (window-in-carry; the roll concat is part
+    of the cost), scanned over k staged hop blocks inside ONE jit call —
     no per-hop host dispatch, so the environment's tunnel round-trips
     (~30 ms each here) drop out entirely.  Marginal, fetch-forced,
     median of ``reps`` samples (BENCH.md methodology).  k = 512: at the
@@ -290,7 +291,8 @@ def _device_scan_ms_per_hop(settings, k: int = 512, reps: int = 5) -> float:
     work per chain call — inside the relay's jitter, and the full-report
     run once measured a (clamped-impossible) negative marginal.  512
     hops ≈ 12 ms per call puts the signal well above the noise; the
-    staged windows cost 16 MB of HBM."""
+    staged blocks cost k·hop·4 bytes of HBM (32× less than staging
+    full windows)."""
     import jax
     import jax.numpy as jnp
     from emspec.pipeline import get_pipeline
@@ -298,32 +300,39 @@ def _device_scan_ms_per_hop(settings, k: int = 512, reps: int = 5) -> float:
     pipe = get_pipeline(settings)
     ch = settings.channels
     lead = (ch,) if ch > 1 else ()
-    secs = (pipe.n_max + k * pipe.hop) / settings.sample_rate + 0.05
+    n_max, hop = pipe.n_max, pipe.hop
+    secs = (n_max + k * hop) / settings.sample_rate + 0.05
     x = _signal(secs, settings.sample_rate, ch)
     if ch == 1 and x.ndim > 1:
         x = x[0]
-    windows = np.stack([x[..., t * pipe.hop: t * pipe.hop + pipe.n_max]
-                        for t in range(k)])               # (k, [ch,] n_max)
-    wd = jax.device_put(windows.astype(np.float32))
+    # rolling-window staging: prime with window 0's prefix, then k
+    # hop-blocks — block t completes window t (stream.py _stage_one)
+    w0 = np.concatenate(
+        [np.zeros(x.shape[:-1] + (hop,), np.float32),
+         x[..., :n_max - hop]], axis=-1).astype(np.float32)
+    blocks = np.stack([x[..., t * hop + n_max - hop: t * hop + n_max]
+                       for t in range(k)])               # (k, [ch,] hop)
+    bd = jax.device_put(blocks.astype(np.float32))
     p = pipe.params()
 
     from emspec.bench.measure import chain_marginal_ms
 
-    def scan_fn(c2, w):
-        carry, probe = c2
-        carry, (vis, rgba, _) = pipe._stream_step(carry, w, p)
+    def scan_fn(c2, b):
+        roll, probe = c2
+        roll, (vis, rgba, _) = pipe._stream_step_rolling(roll, b, p)
         # chain BOTH display outputs into the carried probe so no stage
         # (incl. the LUT, which feeds nothing else) is dead code
         probe = (probe + jnp.ravel(vis)[0] * 0.0
                  + jnp.ravel(rgba)[0].astype(jnp.float32) * 0.0)
-        return (carry, probe), None
+        return (roll, probe), None
 
-    # wd rides as a closed-over device constant; the stream carry chains
+    # bd rides as a closed-over device constant; the stream carry chains
     # every hop and the probe is a jit output, so nothing is DCE-able and
     # forcing one leaf runs the whole executable
-    f = jax.jit(lambda c: jax.lax.scan(scan_fn, c, wd)[0])
+    f = jax.jit(lambda c: jax.lax.scan(scan_fn, c, bd)[0])
     return chain_marginal_ms(
-        f, lambda: (pipe.init_stream_carry(lead), jnp.float32(0.0)),
+        f, lambda: ((jnp.asarray(w0), pipe.init_stream_carry(lead)),
+                    jnp.float32(0.0)),
         k, reps=reps)
 
 
@@ -442,13 +451,14 @@ def run_benchmarks(quick: bool = False) -> dict:
         # 4,800x real time at 96 kHz).
         #
         # Per-config signal length = each config's MEASURED optimum, one
-        # citable number each (round-3 VERDICT #8; item 36/41 A/Bs):
-        # 65536 re-pinned at 16 s (t≈184 — the steady state the 4 s pin
-        # understated by ~30%); 131072 measured BEST at t=8, so 4 s IS
-        # its optimum; 262144 needs 8 s just to hold >1.5 windows.
+        # citable number each (round-3 VERDICT #8; BENCH items 36/44):
+        # 65536 re-pinned at 32 s (t=184, the item-36 steady-state
+        # optimum — the old 4 s pin understated it ~30%, 16 s still
+        # ~13%); 131072 measured BEST at t=8, so 4 s IS its optimum;
+        # 262144 needs 8 s just to hold >1.5 windows.
         cfgs["5_ext_65536_96k"] = (Settings(
             mode="enhanced", multires=False, fft_size=65536,
-            sample_rate=96_000), 16.0)
+            sample_rate=96_000), 32.0)
         cfgs["6_ext_131072_96k"] = (Settings(
             mode="enhanced", multires=False, fft_size=131072,
             sample_rate=96_000), secs)

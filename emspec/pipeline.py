@@ -132,9 +132,16 @@ class Pipeline:
                 s.crossover_low, s.crossover_high)
             assert np.all(probe == 1.0), "single-bank band weight != 1"
         self._batch_jit = jax.jit(self._batch_vis, static_argnames=("t_count",))
-        # the canonical streaming executable: shared by Stream and prewarm()
-        # so warming actually hits the cache the live stream will use
+        # the canonical streaming executables, shared by Stream and
+        # prewarm() so warming actually hits the cache the live stream
+        # will use.  _stream_jit takes the full analysis window (bench
+        # scan-marginal, ShardedStream); _stream_roll_jit is the
+        # production Stream entry — the window lives in the carry and
+        # only the `hop` new samples cross host→device per hop (the
+        # H2D floor is the audio rate itself; BENCH.md item 45)
         self._stream_jit = jax.jit(self._stream_step, donate_argnums=0)
+        self._stream_roll_jit = jax.jit(self._stream_step_rolling,
+                                        donate_argnums=0)
 
     @property
     def use_pallas_scatter(self) -> bool:
@@ -625,11 +632,36 @@ class Pipeline:
         acc = acc.at[emit_slot].set(0.0)                     # slot reused by t+R+1
         return (t + 1, acc, post), (vis, rgba, t - R)
 
+    def _stream_step_rolling(self, carry, block, p: PipelineParams):
+        """H2D-minimal streaming hop: the analysis window is carry
+        state; ``block`` is only the ``hop`` NEW samples.
+
+        window' = concat(window[hop:], block) reproduces exactly the
+        window `_stream_step` would have been fed, so streaming ≡ batch
+        bit-exactness is inherited unchanged — the concat is pure data
+        movement ahead of the identical step.  Rationale: per-hop
+        windows overlap by (n_max − hop)/n_max; shipping the full
+        window re-transfers every sample n_max/hop times (32× at the
+        display default).  Keeping the window device-resident cuts
+        host→device traffic to the information floor — the audio byte
+        rate — which is both the TPU-first design (HBM/PCIe bandwidth
+        is the scarce resource) and the fix for this environment's
+        relay-client payload retention (BENCH.md item 45)."""
+        window, inner = carry
+        window = jnp.concatenate([window[..., self.hop:], block], axis=-1)
+        inner, out = self._stream_step(inner, window, p)
+        return (window, inner), out
+
     def init_stream_carry(self, lead: tuple = ()):
         P = 2 * self.reach + 1
         return (jnp.int32(0),
                 jnp.zeros((P,) + lead + (self.rows,), jnp.float32),
                 PostState.init(lead + (self.rows,)))
+
+    def init_roll_carry(self, lead: tuple = ()):
+        """Carry for :meth:`_stream_step_rolling`: (window, inner)."""
+        return (jnp.zeros(lead + (self.n_max,), jnp.float32),
+                self.init_stream_carry(lead))
 
     # ---------------- hover readout (SURVEY.md §3.5) ----------------
     def _axis(self, freq_scale: float | None) -> np.ndarray:
@@ -762,9 +794,10 @@ def prewarm(base: Settings, sizes: tuple | None = None,
     def _warm_one(s: Settings) -> None:
         pipe = get_pipeline(s)
         lead = (s.channels,) if s.channels > 1 else ()
-        carry = pipe.init_stream_carry(lead)
-        window = jnp.zeros(lead + (pipe.n_max,), jnp.float32)
-        jax.block_until_ready(pipe._stream_jit(carry, window, pipe.params()))
+        carry = pipe.init_roll_carry(lead)
+        block = jnp.zeros(lead + (pipe.hop,), jnp.float32)
+        jax.block_until_ready(
+            pipe._stream_roll_jit(carry, block, pipe.params()))
 
     if background:
         pool = _warm_pool()

@@ -1,10 +1,15 @@
 """Streaming driver: real-time hop→raster loop (L1→L4 hot path).
 
 This realizes the reference's live visualization loop (SURVEY.md §3.2):
-samples arrive in a host ring buffer, each hop stages one analysis window
-to the device, one fused jitted step scatters/merges and emits a display
-column, and only the finished uint8 RGBA column crosses back to host
-[NS: "no host round-trip" for the compute chain].
+samples arrive in a host ring buffer, each hop stages only the ``hop``
+NEW samples to the device (the analysis window itself is device-resident
+carry state — ``Pipeline._stream_step_rolling``), one fused jitted step
+scatters/merges and emits a display column, and only the finished uint8
+RGBA column crosses back to host [NS: "no host round-trip" for the
+compute chain].  Host→device traffic is therefore the audio byte rate —
+the information floor — instead of n_max/hop × that (32× at the display
+default), which is both the TPU-first bandwidth design and the fix for
+this environment's relay-client payload retention (BENCH.md item 45).
 
 Double-buffered prefetch [NS north_star]: staging is an explicit two-slot
 queue — ``_stage_one`` issues the host→HBM copy of hop t+1 *before* the
@@ -20,15 +25,49 @@ Pause/resume mirrors the reference's Max-for-Live window sync
 
 from __future__ import annotations
 
+import functools
 from collections import deque
 from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from emspec.config import Settings
 from emspec.io.ring import make_ring
 from emspec.pipeline import Pipeline, PipelineParams, get_pipeline
+
+
+@functools.cache
+def _relay_backend() -> bool:
+    """True on this environment's remote-relay ("axon") TPU backend.
+
+    The relay client retains every host→device payload for process
+    lifetime — ~1:1 with the bytes shipped, whether they arrive via
+    explicit ``device_put``, a jit call's implicit numpy-arg transfer,
+    batched block puts, or a fully deferred chain (measured:
+    bench_probes/relay_leak_probe.py / relay_leak_min2.py /
+    relay_leak_min3.py; BENCH.md item 45).  The structural fix is the
+    rolling-window step (H2D = audio rate); on the relay we
+    additionally skip the *early* explicit put — it buys no overlap
+    through a deferred-execution tunnel and would retain the block a
+    second time.  Real local backends keep the explicit early H2D
+    copy: the two-slot overlap is a structural latency property there
+    (module docstring)."""
+    try:
+        import jax.extend as jex
+        return "axon" in getattr(
+            jex.backend.get_backend(), "platform_version", "")
+    except Exception:
+        return False
+
+
+def _stage_to_device(block: np.ndarray):
+    """Host→HBM staging copy — identity on the relay (see above)."""
+    block = block.astype(np.float32, copy=False)
+    if _relay_backend():
+        return block
+    return jax.device_put(block)
 
 
 class Column(NamedTuple):
@@ -66,7 +105,11 @@ class Stream:
                        self.pipe.n_max + 8 * self.pipe.hop)
         self.ring = make_ring(capacity, s.channels, prefer_native=native_ring)
         self.dropped_frames = 0     # overrun accounting (SURVEY.md §5.3)
-        self._carry = self.pipe.init_stream_carry(lead)
+        # rolling-window carry: the analysis window is device state and
+        # each hop ships only the `hop` NEW samples (the H2D floor is
+        # the audio byte rate — Pipeline._stream_step_rolling docstring)
+        self._carry = self.pipe.init_roll_carry(lead)
+        self._window_ready = False  # device window primed for _next_stage?
         self._t = 0                 # host mirror of the carry's hop counter
         self._last_col = None       # underrun repaint contract (SURVEY 5.3)
         self._next_frame = 0        # next hop index to analyze
@@ -76,7 +119,7 @@ class Stream:
         self._finished = False
         # the pipeline's canonical donated-carry executable (shared with
         # prewarm(), so a pre-warmed size switch never stalls)
-        self._step = self.pipe._stream_jit
+        self._step = self.pipe._stream_roll_jit
 
     # ------------------------------------------------------------------ API
     @property
@@ -125,36 +168,61 @@ class Stream:
         carry, so resumed columns would be index-shifted)."""
         self._finished = True
         out = []
-        zero = np.zeros(self._lead + (self.pipe.n_max,), np.float32)
+        # zero the device window first: flush hops analyze ALL-zero
+        # windows (the exact semantic the streaming ≡ batch pin relies
+        # on — an all-zero window deposits nothing, so the R pending
+        # columns drain with no contribution from past-the-end windows
+        # the batch path never analyzes)
+        window, inner = self._carry
+        self._carry = (jnp.zeros_like(window), inner)
+        zero = np.zeros(self._lead + (self.pipe.hop,), np.float32)
         for _ in range(self.pipe.reach):
             out.extend(self._run_one(zero))
         return out
 
     # ------------------------------------------------------------- internals
     def _stage_one(self) -> bool:
-        """Issue the host→HBM copy for the next available hop window.
-        Returns False when the ring doesn't hold a full window yet."""
+        """Stage the next hop's NEW samples (plus, at stream start or
+        after an overrun skip-ahead, the window prefix that re-primes
+        the device-resident rolling window).  Returns False when the
+        ring doesn't hold hop ``_next_stage``'s full window yet."""
         n_max, hop = self.pipe.n_max, self.pipe.hop
         while True:
-            if self.ring.total_written < self._next_stage * hop + n_max:
+            t = self._next_stage
+            if self.ring.total_written < t * hop + n_max:
                 return False
             try:
-                window = self.ring.window_at(self._next_stage * hop, n_max)
+                if self._window_ready:
+                    # continuity holds: only the hop-new samples cross
+                    block = self.ring.window_at(t * hop + n_max - hop, hop)
+                    w_init = None
+                else:
+                    # prime: concat(w_init[hop:], block) == window t
+                    window = self.ring.window_at(t * hop, n_max)
+                    block = window[..., n_max - hop:]
+                    w_init = np.concatenate(
+                        [np.zeros(window.shape[:-1] + (hop,), np.float32),
+                         window[..., :n_max - hop]], axis=-1)
+                    self._window_ready = True
             except ValueError:
                 # overrun: the producer lapped us. Skip to the newest
                 # fully-available frame and keep going — degraded display
                 # beats a dead stream (failure contract, SURVEY.md §5.3).
+                # The skip breaks hop continuity: re-prime the window.
                 newest = (self.ring.total_written - n_max) // hop
                 self.dropped_frames += max(newest - self._next_stage, 0)
                 self._next_stage = max(newest, self._next_stage + 1)
+                self._window_ready = False
                 continue
             if self.channels == 1:
-                window = window[0]
-            dev = jax.device_put(window.astype(np.float32, copy=False))
+                block = block[0]
+                if w_init is not None:
+                    w_init = w_init[0]
+            dev = _stage_to_device(block)
             # snapshot the drop count WITH the window: a later overrun
             # (while this window waits in the queue) must not inflate the
             # already-staged column's absolute-time index
-            self._staged.append((self.dropped_frames, dev))
+            self._staged.append((self.dropped_frames, dev, w_init))
             self._next_stage += 1
             return True
 
@@ -167,18 +235,21 @@ class Stream:
                 pass
             if not self._staged:
                 break
-            dropped_at_stage, dev = self._staged.popleft()
+            dropped_at_stage, dev, w_init = self._staged.popleft()
             if not self._staged:
                 self._stage_one()           # stage t+1 ahead of step t
-            out.extend(self._dispatch(dev, dropped_at_stage))
+            out.extend(self._dispatch(dev, dropped_at_stage, w_init))
             self._next_frame = self._next_stage - len(self._staged)
         return out
 
-    def _run_one(self, window: np.ndarray) -> list[Column]:
-        dev = jax.device_put(window.astype(np.float32, copy=False))
-        return self._dispatch(dev, self.dropped_frames)
+    def _run_one(self, block: np.ndarray) -> list[Column]:
+        return self._dispatch(_stage_to_device(block), self.dropped_frames)
 
-    def _dispatch(self, dev, dropped: int) -> list[Column]:
+    def _dispatch(self, dev, dropped: int, w_init=None) -> list[Column]:
+        if w_init is not None:
+            # one-time window (re)prime: a single full-window transfer
+            # at stream start / after an overrun skip-ahead
+            self._carry = (jax.device_put(w_init), self._carry[1])
         self._carry, (vis, rgba, _) = self._step(self._carry, dev, self.params)
         # host-side counter mirrors the carry so no device sync per hop;
         # the stage-time drop count keeps Column.index on absolute audio
@@ -211,6 +282,10 @@ class Stream:
         # queue before returning)
         self._next_stage = self._next_frame
         self._staged.clear()
+        # the snapshot's carry includes the rolling window, so hop
+        # continuity holds from the resume point (unless nothing was
+        # ever streamed — then the zeros window still needs priming)
+        self._window_ready = self._t > 0
 
 
 def stream_signal(x: np.ndarray, settings: Settings,

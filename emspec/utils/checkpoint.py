@@ -69,7 +69,8 @@ def load_stream(path: str | Path, stream) -> None:
     """Restore state saved by :func:`save_stream` into a freshly
     constructed Stream with identical Settings."""
     with np.load(_npz_path(path), allow_pickle=False) as z:
-        carry = _carry_from(z, stream.pipe.init_stream_carry(
+        # Stream's carry is the rolling-window pytree (window, inner)
+        carry = _carry_from(z, stream.pipe.init_roll_carry(
             (stream.channels,) if stream.channels > 1 else ()))
         total = int(z["ring_total"])
         ring_data = z["ring_data"]

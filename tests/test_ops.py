@@ -97,7 +97,7 @@ def test_prewarm_compiles_stream_step():
     # the warmed executable is the very object Stream uses
     pipe = get_pipeline(s.replace(multires=False, fft_size=1024))
     st = Stream(s.replace(multires=False, fft_size=1024))
-    assert st._step is pipe._stream_jit
+    assert st._step is pipe._stream_roll_jit
     t0 = time.perf_counter()
     st.push(synth.tone(440.0, 0.1, SR))
     assert time.perf_counter() - t0 < 5.0  # no fresh compile stall
