@@ -87,18 +87,24 @@ class ShardedPipeline:
 
 
 class ShardedStream:
-    """Channel-sharded STREAMING: the production per-hop ``_stream_step``
-    jitted over the mesh with the full carry — hop counter (replicated),
-    pending reassignment ring (P, ch, rows) and post-chain state (both
-    channel-sharded) — **donated** each hop, exactly like the single-chip
-    Stream's executable.  The scatter is channel-local; with
-    ``agc_global=True`` the per-hop cross-channel max is the one ICI
-    all-reduce (SURVEY.md §5.8).
+    """Channel-sharded STREAMING: the production per-hop rolling step
+    (``_stream_step_rolling``) jitted over the mesh with the full carry —
+    hop counter (replicated), the device-resident analysis window
+    (channel-sharded), pending reassignment ring (P, ch, rows) and
+    post-chain state (both channel-sharded) — **donated** each hop,
+    exactly like the single-chip Stream's executable.  Per hop only the
+    ``hop`` NEW samples cross host→device (the audio-rate floor — the
+    same H2D design as Stream; BENCH.md item 45).  The scatter is
+    channel-local; with ``agc_global=True`` the per-hop cross-channel
+    max is the one ICI all-reduce (SURVEY.md §5.8).
 
-    This is the streaming counterpart of :class:`ShardedPipeline` —
-    windows in, finalized display columns out; ``stream_signal`` mirrors
-    ``emspec.stream.stream_signal`` so streaming ≡ batch is assertable
-    under sharding (tests/test_parallel.py).
+    Feed protocol (mirrors ``emspec.stream.Stream._stage_one``):
+    ``reset_window(x[:, :n_max])`` primes the window for hop 0, then
+    ``step(x[:, t*hop + n_max - hop : t*hop + n_max])`` per hop; at
+    flush, ``reset_window(None)`` zeroes the window and zero blocks
+    drain the pending ring.  ``stream_signal_sharded`` packages this so
+    streaming ≡ batch is assertable under sharding
+    (tests/test_parallel.py).
     """
 
     def __init__(self, settings: Settings, mesh: Mesh, params=None):
@@ -113,19 +119,23 @@ class ShardedStream:
         ch = settings.channels
         repl = NamedSharding(mesh, P())
         self._sh_window = NamedSharding(mesh, P(ax, None))
+        self._sh_block = NamedSharding(mesh, P(ax, None))
         sh_carry = (
-            repl,                                     # hop counter t
-            NamedSharding(mesh, P(None, ax, None)),   # acc (P, ch, rows)
-            PostState(smooth=NamedSharding(mesh, P(ax, None)),
-                      agc_ref=NamedSharding(mesh, P(ax))),
+            self._sh_window,                              # rolling window
+            (
+                repl,                                     # hop counter t
+                NamedSharding(mesh, P(None, ax, None)),   # acc (P, ch, rows)
+                PostState(smooth=NamedSharding(mesh, P(ax, None)),
+                          agc_ref=NamedSharding(mesh, P(ax))),
+            ),
         )
         self._sh_carry = sh_carry
         self._carry = jax.device_put(
-            self.pipe.init_stream_carry((ch,)), sh_carry)
+            self.pipe.init_roll_carry((ch,)), sh_carry)
         self.params = jax.device_put(
             params or self.pipe.params(settings), repl)
         self._step = jax.jit(
-            self.pipe._stream_step,
+            self.pipe._stream_step_rolling,
             donate_argnums=0,
             out_shardings=(
                 sh_carry,
@@ -136,11 +146,27 @@ class ShardedStream:
         )
         self._t = 0
 
-    def step(self, window: np.ndarray):
-        """One hop: (channels, n_max) window → finalized column or None
-        (warmup: the first ``reach`` hops emit nothing, like Stream)."""
-        dev = jax.device_put(np.asarray(window, np.float32),
-                             self._sh_window)
+    def reset_window(self, window: np.ndarray | None) -> None:
+        """(Re)prime the device-resident rolling window.
+
+        ``window``: hop 0's full (channels, n_max) samples — the next
+        ``step`` block must then be ``window[:, n_max-hop:]`` (which
+        completes it) — or None to zero the window for flush hops."""
+        ch, n_max, hop = self.settings.channels, self.pipe.n_max, self.pipe.hop
+        if window is None:
+            w = np.zeros((ch, n_max), np.float32)
+        else:
+            w = np.concatenate(
+                [np.zeros((ch, hop), np.float32),
+                 np.asarray(window, np.float32)[..., :n_max - hop]], axis=-1)
+        self._carry = (jax.device_put(w, self._sh_window), self._carry[1])
+
+    def step(self, block: np.ndarray):
+        """One hop: (channels, hop) NEW samples → finalized column or
+        None (warmup: the first ``reach`` hops emit nothing, like
+        Stream)."""
+        dev = jax.device_put(np.asarray(block, np.float32),
+                             self._sh_block)
         self._carry, (vis, rgba, _) = self._step(self._carry, dev,
                                                  self.params)
         idx = self._t - self.pipe.reach
@@ -176,13 +202,17 @@ def stream_signal_sharded(x: np.ndarray, settings: Settings, mesh: Mesh):
     if t_count <= 0:
         raise ValueError(f"need at least {pipe.n_max} samples")
     cols = []
-    zero = np.zeros((settings.channels, pipe.n_max), np.float32)
+    n_max, hop = pipe.n_max, pipe.hop
+    zero_block = np.zeros((settings.channels, hop), np.float32)
+    st.reset_window(x[..., :n_max])              # prime for hop 0
     for t in range(t_count + pipe.reach):
         if t < t_count:
-            window = x[..., t * pipe.hop: t * pipe.hop + pipe.n_max]
+            block = x[..., t * hop + n_max - hop: t * hop + n_max]
         else:
-            window = zero
-        out = st.step(window)
+            if t == t_count:
+                st.reset_window(None)            # flush: all-zero windows
+            block = zero_block
+        out = st.step(block)
         if out is not None:
             cols.append(out)
     cols.sort(key=lambda c: c[0])

@@ -116,6 +116,7 @@ def load_sharded_stream(path: str | Path, stream) -> None:
     ShardedStream with identical Settings (any mesh size; load_state
     re-shards onto the stream's own mesh)."""
     with np.load(_npz_path(path), allow_pickle=False) as z:
+        # ShardedStream's carry is the rolling-window pytree too
         carry = _carry_from(
-            z, stream.pipe.init_stream_carry((stream.settings.channels,)))
+            z, stream.pipe.init_roll_carry((stream.settings.channels,)))
         stream.load_state({"carry": carry, "t": int(z["t"])})

@@ -91,10 +91,12 @@ def test_sharded_stream_matches_batch():
     assert dq.max() <= 1 and (dq != 0).mean() < 0.01
     # the per-hop outputs really are sharded and the carry is donated
     st = ShardedStream(s, mesh)
+    st.reset_window(x[:, :st.pipe.n_max])
     out = None
     t = 0
+    n_max, hop = st.pipe.n_max, st.pipe.hop
     while out is None:
-        out = st.step(x[:, t * st.pipe.hop: t * st.pipe.hop + st.pipe.n_max])
+        out = st.step(x[:, t * hop + n_max - hop: t * hop + n_max])
         t += 1
     _, vis, _ = out
     assert len(vis.sharding.device_set) == n_dev
@@ -125,9 +127,9 @@ def test_sharded_step_collective_structure():
     def compiled_text(agc_global: bool) -> str:
         st = ShardedStream(_settings(channels=n_dev,
                                      agc_global=agc_global), mesh)
-        window = jax.device_put(
-            np.zeros((n_dev, st.pipe.n_max), np.float32), st._sh_window)
-        return st._step.lower(st._carry, window,
+        block = jax.device_put(
+            np.zeros((n_dev, st.pipe.hop), np.float32), st._sh_block)
+        return st._step.lower(st._carry, block,
                               st.params).compile().as_text()
 
     local = compiled_text(False)
@@ -157,7 +159,10 @@ def test_sharded_stream_elastic_checkpoint_resume():
                   for c in range(s.channels)])
 
     def feed(st, t):
-        return st.step(x[:, t * st.pipe.hop: t * st.pipe.hop + st.pipe.n_max])
+        n_max, hop = st.pipe.n_max, st.pipe.hop
+        if t == 0:
+            st.reset_window(x[:, :n_max])
+        return st.step(x[:, t * hop + n_max - hop: t * hop + n_max])
 
     # uninterrupted reference on the full mesh
     ref = ShardedStream(s, channel_mesh())
@@ -200,16 +205,21 @@ def test_sharded_stream_npz_checkpoint_roundtrip(tmp_path):
     s = _settings(channels=n_dev, smoothing=0.4)
     x = np.stack([synth.tone(200.0 * (c + 1), 0.1, SR)
                   for c in range(s.channels)])
+    def blk(st, t):
+        return x[:, t * st.pipe.hop + st.pipe.n_max - st.pipe.hop:
+                 t * st.pipe.hop + st.pipe.n_max]
+
     a = ShardedStream(s, channel_mesh())
     hops = a.pipe.num_columns(x.shape[-1])
+    a.reset_window(x[:, :a.pipe.n_max])
     for t in range(hops // 2):
-        a.step(x[:, t * a.pipe.hop: t * a.pipe.hop + a.pipe.n_max])
+        a.step(blk(a, t))
     save_sharded_stream(tmp_path / "ck", a)
 
     b = ShardedStream(s, channel_mesh(jax.devices()[: max(n_dev // 2, 1)]))
     load_sharded_stream(tmp_path / "ck", b)
     for t in range(hops // 2, hops):
-        w = x[:, t * a.pipe.hop: t * a.pipe.hop + a.pipe.n_max]
+        w = blk(a, t)
         oa, ob = a.step(w), b.step(w)
         if oa is None:
             assert ob is None
@@ -233,23 +243,28 @@ def test_sharded_step_partitions_buffers_as_ch_over_n():
     mesh = channel_mesh()
     st = ShardedStream(s, mesh)
     per = s.channels // n_dev
-    n_max, rows = st.pipe.n_max, st.pipe.rows
+    n_max, hop, rows = st.pipe.n_max, st.pipe.hop, st.pipe.rows
 
-    window = jax.device_put(np.zeros((n_dev, n_max), np.float32),
-                            st._sh_window)
-    # compiled parameter shardings: the window must shard to (ch/n, n_max)
-    compiled = st._step.lower(st._carry, window, st.params).compile()
-    (carry_sh, window_sh, _), _ = compiled.input_shardings
-    assert window_sh.shard_shape((n_dev, n_max)) == (per, n_max)
-    acc_global = st._carry[1].shape                  # (P, ch, rows)
-    assert carry_sh[1].shard_shape(acc_global) \
+    block = jax.device_put(np.zeros((n_dev, hop), np.float32),
+                           st._sh_block)
+    # compiled parameter shardings: block AND the carry's rolling
+    # window must shard to ch/n rows
+    compiled = st._step.lower(st._carry, block, st.params).compile()
+    (carry_sh, block_sh, _), _ = compiled.input_shardings
+    assert block_sh.shard_shape((n_dev, hop)) == (per, hop)
+    win_sh, inner_sh = carry_sh
+    assert win_sh.shard_shape((n_dev, n_max)) == (per, n_max)
+    acc_global = st._carry[1][1].shape               # (P, ch, rows)
+    assert inner_sh[1].shard_shape(acc_global) \
         == (acc_global[0], per, acc_global[2])
 
-    # runtime buffers: carry ring, window, and the emitted column all
-    # hold exactly one ch/n slice per device
-    assert {sh.data.shape for sh in st._carry[1].addressable_shards} \
+    # runtime buffers: rolling window, carry ring, and the emitted
+    # column all hold exactly one ch/n slice per device
+    assert {sh.data.shape for sh in st._carry[0].addressable_shards} \
+        == {(per, n_max)}
+    assert {sh.data.shape for sh in st._carry[1][1].addressable_shards} \
         == {(acc_global[0], per, acc_global[2])}
-    carry, (vis, rgba, _) = st._step(st._carry, window, st.params)
+    carry, (vis, rgba, _) = st._step(st._carry, block, st.params)
     st._carry = carry
     assert {sh.data.shape for sh in vis.addressable_shards} \
         == {(per, rows)}
