@@ -301,6 +301,39 @@ def test_overrun_recovery():
     assert max(c.index for c in cols) >= st.dropped_frames
 
 
+def test_overrun_reprime_window_content():
+    """After an overrun skip-ahead the device-resident rolling window
+    must be RE-PRIMED from the ring — a stale window would emit columns
+    whose content silently mixes pre- and post-skip audio.  With a
+    stateless post chain, every emitted column must equal the batch
+    analysis of its absolute-time window."""
+    s = _settings(mode="natural", multires=False, fft_size=1024,
+                  smoothing=0.0, auto_gain=False)
+    st = Stream(s, ring_seconds=0.1)          # tiny ring: 4800 samples
+    n_max, hop = st.pipe.n_max, st.pipe.hop
+    rng = np.random.default_rng(7)
+    x0 = (rng.standard_normal(SR // 16) * 0.2).astype(np.float32)
+    pre = st.push(x0)                         # stream is mid-flight,
+    assert len(pre) > 0                       # window already rolling...
+    x = (rng.standard_normal(SR) * 0.2).astype(np.float32)   # 1 s >> ring
+    st.pause()
+    st.push(x)                                # ...then the producer laps
+    st.resume()
+    x2 = (rng.standard_normal(SR // 10) * 0.2).astype(np.float32)
+    cols = st.push(x2)
+    assert st.dropped_frames > 0 and len(cols) > 0
+    full = np.concatenate([x0, x, x2])
+    pipe = Pipeline(s)
+    for c in cols[:: max(len(cols) // 6, 1)]:
+        start = c.index * hop
+        window = full[start:start + n_max]
+        if window.shape[0] < n_max:
+            continue
+        vis_b, _, _ = pipe.process(window)
+        np.testing.assert_array_equal(np.asarray(c.vis),
+                                      np.asarray(vis_b)[0])
+
+
 # ------------------------------------------------------ state save/restore
 def test_stream_state_roundtrip():
     s = _settings(mode="enhanced", smoothing=0.6)
