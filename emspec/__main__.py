@@ -43,6 +43,18 @@ def _add_settings_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--hop", type=int, default=0, help="hop in samples (0 = fft_size/4)")
 
 
+def _read_wav_cli(path):
+    """Decode a CLI-supplied WAV, converting decoder rejections (not a
+    RIFF/WAVE file, unsupported bit depth, truncated data — all user
+    input) into the one-line UsageError contract instead of a
+    traceback."""
+    from emspec.io.wav import read_wav
+    try:
+        return read_wav(path)
+    except ValueError as e:
+        raise UsageError(str(e)) from None
+
+
 def _pick_channel(audio, channel) -> int:
     """Validate a --channel index against the decoded audio: a clear
     usage error (via main()'s UsageError boundary), not an IndexError
@@ -81,10 +93,9 @@ def _settings_from(args, sample_rate: int, channels: int = 1,
 
 
 def cmd_render(args) -> int:
-    from emspec.io.wav import read_wav
     from emspec.render.png import tile_images, write_png
 
-    audio, rate = read_wav(args.input)
+    audio, rate = _read_wav_cli(args.input)
     s = _settings_from(args, rate)
     n_need = max(s.multires_sizes) if s.multires else s.fft_size
     if audio.shape[-1] < n_need:
@@ -122,13 +133,12 @@ def cmd_stream(args) -> int:
     waterfall, then snapshot the waterfall to PNG.  ``--channel all``
     streams every channel through one multichannel Stream and tiles one
     waterfall per channel."""
-    from emspec.io.wav import read_wav
     from emspec.post.colormap import lut
     from emspec.render.png import tile_images, write_png
     from emspec.render.waterfall import Waterfall
     from emspec.stream import Stream
 
-    audio, rate = read_wav(args.input)
+    audio, rate = _read_wav_cli(args.input)
     tiled = args.channel == "all" and audio.shape[0] > 1
     nch = audio.shape[0] if tiled else 1
     s = _settings_from(args, rate, channels=nch, multires_default=True)
@@ -173,10 +183,9 @@ def cmd_live(args) -> int:
     if not args.input:
         print("live: provide a WAV file or use --capture", file=sys.stderr)
         return 1
-    from emspec.io.wav import read_wav
     from emspec.render.terminal import live_view
 
-    audio, rate = read_wav(args.input)    # decoded once, passed through
+    audio, rate = _read_wav_cli(args.input)    # decoded once, passed through
     s = _settings_from(args, rate, multires_default=True)
     n = live_view((audio, rate), s, width=args.width, realtime=not args.fast)
     print(f"\ndisplayed {n} columns")

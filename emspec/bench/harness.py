@@ -151,8 +151,10 @@ def _device_scan_ms_per_call(pipe, xd, p, st0, t_count,
 
 
 def _latency(settings, hops: int = 200) -> dict:
-    """Streaming-path per-hop audio-to-raster latency (window staged to HBM
-    → fused step → block on the emitted RGBA column)."""
+    """Streaming-path per-hop audio-to-raster latency (hop block staged
+    → rolling fused step → block on the emitted RGBA column), driven
+    through the Stream's OWN staging machinery (`_stage_one`, which
+    primes the device window at hop 0 exactly like production)."""
     import jax
     from emspec.stream import Stream
 
@@ -162,32 +164,28 @@ def _latency(settings, hops: int = 200) -> dict:
     seconds = ((pipe.n_max + total_hops * pipe.hop)
                / settings.sample_rate + 0.1)
     st = Stream(settings, ring_seconds=seconds + 1.0)   # whole signal resident
-    n_max, hop = st.pipe.n_max, st.pipe.hop
     x = _signal(seconds, settings.sample_rate, settings.channels)
     st.ring.push(x)
-    # warmup (compile + fill the pending ring); np.asarray forces real
-    # execution — block_until_ready is not a reliable barrier on remote
-    # backends (BENCH.md methodology)
-    for _ in range(st.reach + 3):
-        window = st.ring.window_at(st._next_frame * hop, n_max)
-        if settings.channels == 1:
-            window = window[0]
-        cols = st._run_one(window)
-        st._next_frame += 1
-        if cols:
-            _ = np.asarray(cols[0].rgba)
+
     def one_hop(materialize_carry: bool = True):
-        window = st.ring.window_at(st._next_frame * hop, n_max)
-        if settings.channels == 1:
-            window = window[0]
-        cols = st._run_one(window)
-        st._next_frame += 1
+        staged = st._stage_one()
+        assert staged, "latency signal exhausted (total_hops sizing bug)"
+        dropped, dev, w_init = st._staged.popleft()
+        cols = st._dispatch(dev, dropped, w_init)
         if materialize_carry:
             # deferred-execution runtimes replay the whole un-materialized
             # carry chain on every fetch (quadratic blowup); forcing the
             # tiny hop counter to host each hop bounds the chain at 1
-            _ = int(st._carry[0])
-        return cols[0]
+            _ = int(st._carry[1][0])
+        return cols[0] if cols else None
+
+    # warmup (compile + fill the pending ring); np.asarray forces real
+    # execution — block_until_ready is not a reliable barrier on remote
+    # backends (BENCH.md methodology)
+    for _ in range(st.reach + 3):
+        col = one_hop()
+        if col is not None:
+            _ = np.asarray(col.rgba)
 
     # (a) round-trip: stage window → step → RGBA column fetched to host.
     # Includes the environment's tunnel fetch (~30 ms here); on a locally
@@ -221,14 +219,26 @@ def _latency(settings, hops: int = 200) -> dict:
     rgba = col.rgba if hasattr(col, "rgba") else col
     col_bytes = int(np.asarray(rgba).nbytes)
     fetch = _fetch_throughput_gbs()
-    derived = {
-        "device_scan_ms_per_hop": device_scan_ms,
-        "column_bytes": col_bytes,
-        "fetch_gbs_measured": round(fetch, 2),
-        "column_fetch_ms": round(col_bytes / (fetch * 1e9) * 1e3, 4),
-    }
-    derived["local_host_p50_ms"] = round(
-        device_scan_ms + derived["column_fetch_ms"], 4)
+    if fetch is None:
+        # every size-marginal sample was non-positive (noise/fast local
+        # link): report the derivation as unmeasurable rather than
+        # backing the north-star number with an invented constant
+        derived = {
+            "device_scan_ms_per_hop": device_scan_ms,
+            "column_bytes": col_bytes,
+            "fetch_gbs_measured": None,
+            "note": "D2H size-marginal unmeasurable this run; "
+                    "local_host_p50_ms omitted",
+        }
+    else:
+        derived = {
+            "device_scan_ms_per_hop": device_scan_ms,
+            "column_bytes": col_bytes,
+            "fetch_gbs_measured": round(fetch, 2),
+            "column_fetch_ms": round(col_bytes / (fetch * 1e9) * 1e3, 4),
+        }
+        derived["local_host_p50_ms"] = round(
+            device_scan_ms + derived["column_fetch_ms"], 4)
 
     return {"p50_ms": float(np.percentile(times, 50)),
             "p99_ms": float(np.percentile(times, 99)),
@@ -277,7 +287,9 @@ def _fetch_throughput_gbs(reps: int = 5) -> float:
         dt = t_big - t_small
         if dt > 0:
             samples.append(4 * (big_n - small_n) / dt / 1e9)
-    return float(np.median(samples)) if samples else 1.0
+    # None = unmeasurable (all marginals non-positive); callers must
+    # surface that rather than fabricate a rate
+    return float(np.median(samples)) if samples else None
 
 
 def _device_scan_ms_per_hop(settings, k: int = 512, reps: int = 5) -> float:

@@ -145,7 +145,8 @@ def soak(settings=None, seconds: float = 600.0,
                 time.sleep(sample_every)
         finally:
             churn.stop_ev.set()
-            churn.join(timeout=5.0)
+            if churn.is_alive():    # never started if warmup was aborted
+                churn.join(timeout=5.0)
             srv.stop()
 
     ts = np.array([p[0] for p in samples])

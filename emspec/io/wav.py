@@ -171,8 +171,11 @@ def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int,
     (n, channels) and transposes it here."""
     x = np.asarray(samples, dtype=np.float32)
     if x.ndim == 1:
+        # 1-D is unambiguous mono: never transposed, whatever the
+        # caller declared (a (n,) buffer under channels_first=False
+        # would otherwise become an n-channel 1-sample file)
         x = x[None, :]
-    if channels_first is False and x.ndim == 2:
+    elif channels_first is False and x.ndim == 2:
         x = np.ascontiguousarray(x.T)
     if (channels_first is None and x.ndim == 2
             and x.shape[0] > max(64, x.shape[1])):

@@ -74,13 +74,14 @@ class AudioFeeder:
                                         audio.shape[0] - 1)))
         return audio.astype(np.float32), rate
 
-    def _wav_loop(self, x_all: np.ndarray, rate: int) -> None:
+    def _wav_loop(self, x_all: np.ndarray, rate: int,
+                  stop: threading.Event) -> None:
         pos = 0
         block = max(rate // 50, 256)
         t0 = time.perf_counter()
         sent = 0
         total = x_all.shape[-1]
-        while not self._stop.is_set():
+        while not stop.is_set():
             # wrap-around take of exactly `block` samples: files shorter
             # than a block still loop (and still pace — a short-file
             # reset must never busy-spin)
@@ -95,13 +96,17 @@ class AudioFeeder:
 
     # -------------------------------------------------------------- control
     def start(self) -> None:
-        # re-arm after a previous stop(): without this a restarted WAV
-        # feeder's loop would exit immediately and silently feed nothing
-        self._stop.clear()
+        # re-arm after a previous stop() with a FRESH event: each thread
+        # captures its own stop event at creation, so a previous thread
+        # that outlived stop()'s join timeout keeps its (set) event and
+        # still exits — clearing a shared event could revive it and put
+        # two producers on the single-producer ring
+        self._stop = threading.Event()
         if self.source == "wav":
             x_all, rate = self._load_wav()
             self._thread = threading.Thread(
-                target=self._wav_loop, args=(x_all, rate), daemon=True)
+                target=self._wav_loop, args=(x_all, rate, self._stop),
+                daemon=True)
             self._thread.start()
         else:
             from emspec.io.capture import open_capture

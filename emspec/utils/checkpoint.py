@@ -36,8 +36,36 @@ def _carry_from(z, fresh):
     freshly-initialized carry's structure (no pickled treedefs)."""
     treedef = jax.tree_util.tree_structure(fresh)
     n_leaves = len(jax.tree_util.tree_leaves(fresh))
+    missing = [i for i in range(n_leaves) if f"carry_{i}" not in z]
+    if missing:
+        raise ValueError(
+            f"checkpoint has {n_leaves - len(missing)} carry leaves but "
+            f"this build expects {n_leaves} — the file was probably saved "
+            f"by an older emspec (pre-rolling-window carry layout)")
     return jax.tree_util.tree_unflatten(
         treedef, [z[f"carry_{i}"] for i in range(n_leaves)])
+
+
+def _roll_carry_from(z, pipe, lead):
+    """Rolling carry from a snapshot, migrating pre-rolling-window files
+    (round-4 carry layout change): an old snapshot holds only the inner
+    leaves, so the window leaf is re-initialized to zeros and the caller
+    must re-prime it (the single-chip loader replays the host ring, so
+    ``Stream._stage_one`` re-primes transparently; a migrated SHARDED
+    snapshot needs ``reset_window`` before the next step).  Returns
+    (carry, migrated)."""
+    fresh = pipe.init_roll_carry(lead)
+    inner_n = len(jax.tree_util.tree_leaves(fresh[1]))
+    win_n = len(jax.tree_util.tree_leaves(fresh[0]))     # 1
+    total = win_n + inner_n
+    if f"carry_{total - 1}" in z:                        # current layout
+        return _carry_from(z, fresh), False
+    if f"carry_{inner_n - 1}" in z:                      # old layout
+        inner = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(fresh[1]),
+            [z[f"carry_{i}"] for i in range(inner_n)])
+        return (fresh[0], inner), True
+    return _carry_from(z, fresh), False   # surface the clear error
 
 
 def _npz_path(path: str | Path) -> Path:
@@ -69,9 +97,11 @@ def load_stream(path: str | Path, stream) -> None:
     """Restore state saved by :func:`save_stream` into a freshly
     constructed Stream with identical Settings."""
     with np.load(_npz_path(path), allow_pickle=False) as z:
-        # Stream's carry is the rolling-window pytree (window, inner)
-        carry = _carry_from(z, stream.pipe.init_roll_carry(
-            (stream.channels,) if stream.channels > 1 else ()))
+        # Stream's carry is the rolling-window pytree (window, inner);
+        # pre-rolling snapshots migrate with a zeroed window + re-prime
+        carry, migrated = _roll_carry_from(
+            z, stream.pipe,
+            (stream.channels,) if stream.channels > 1 else ())
         total = int(z["ring_total"])
         ring_data = z["ring_data"]
         # replay the retained window at its absolute position: pushing
@@ -94,6 +124,10 @@ def load_stream(path: str | Path, stream) -> None:
         stream.load_state({"carry": carry, "t": int(z["t"]),
                            "next_frame": int(z["next_frame"])})
         stream.dropped_frames = int(z["dropped"])
+        if migrated:
+            # old-layout snapshot: the zeroed window can't continue the
+            # roll — re-prime from the replayed ring on the next stage
+            stream._window_ready = False
 
 
 def save_sharded_stream(path: str | Path, stream) -> None:
@@ -114,9 +148,13 @@ def save_sharded_stream(path: str | Path, stream) -> None:
 def load_sharded_stream(path: str | Path, stream) -> None:
     """Restore :func:`save_sharded_stream` state into a freshly built
     ShardedStream with identical Settings (any mesh size; load_state
-    re-shards onto the stream's own mesh)."""
+    re-shards onto the stream's own mesh).
+
+    Pre-rolling-window snapshots migrate with a ZEROED window: the
+    caller must ``reset_window(window_at_resume_point)`` before the
+    next ``step`` (ShardedStream owns no ring to re-prime from)."""
     with np.load(_npz_path(path), allow_pickle=False) as z:
         # ShardedStream's carry is the rolling-window pytree too
-        carry = _carry_from(
-            z, stream.pipe.init_roll_carry((stream.settings.channels,)))
+        carry, _migrated = _roll_carry_from(
+            z, stream.pipe, (stream.settings.channels,))
         stream.load_state({"carry": carry, "t": int(z["t"])})

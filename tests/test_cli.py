@@ -59,6 +59,15 @@ def test_cli_clean_errors_for_user_mistakes(tmp_path, capsys):
                "--file", str(tmp_path / "p.json")])
     assert rc == 2
     assert "no preset named 'Nope'" in capsys.readouterr().err
+    # a corrupt/non-WAV input is user input too, not a traceback
+    # (round-4 review: the UsageError narrowing had dropped decoder
+    # ValueErrors from the one-line contract)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a riff file at all, definitely not audio")
+    rc = main(["render", str(bad), str(tmp_path / "o.png")])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "Traceback" not in err
 
 
 def test_render_cli_rejects_bad_channel(tmp_path, capsys):

@@ -49,6 +49,60 @@ def test_checkpoint_resume_bit_exact(tmp_path):
         np.testing.assert_allclose(got[i], want, atol=1e-6)
 
 
+def test_checkpoint_migrates_pre_rolling_layout(tmp_path):
+    """A snapshot saved BEFORE the rolling-window carry (round 4) holds
+    only the inner carry leaves.  load_stream must migrate it — zeroed
+    window + re-prime from the replayed ring — and the continuation must
+    still equal the uninterrupted run exactly (the re-primed window is
+    rebuilt from the very samples the original window held)."""
+    s = _settings(mode="enhanced")
+    x = synth.chirp(100.0, 6000.0, 0.3, SR)
+    half = len(x) // 2
+    ckpt = tmp_path / "stream.npz"
+
+    st1 = Stream(s)
+    cols_a = st1.push(x[:half])
+    save_stream(ckpt, st1)
+    # rewrite the npz in the OLD layout: drop the window leaf (carry_0)
+    # and renumber the inner leaves down
+    z = dict(np.load(ckpt, allow_pickle=False))
+    n_carry = sum(1 for k in z if k.startswith("carry_"))
+    old = {k: v for k, v in z.items() if not k.startswith("carry_")}
+    for i in range(1, n_carry):
+        old[f"carry_{i - 1}"] = z[f"carry_{i}"]
+    np.savez(ckpt, **old)
+
+    st2 = Stream(s)
+    load_stream(ckpt, st2)
+    assert st2._window_ready is False          # migration forces re-prime
+    cols_b = st2.push(x[half:]) + st2.flush()
+
+    ref_vis, _ = stream_signal(x, s)
+    got = {c.index: np.asarray(c.vis) for c in cols_a + cols_b}
+    assert sorted(got) == list(range(ref_vis.shape[0]))
+    for i, want in enumerate(ref_vis):
+        np.testing.assert_allclose(got[i], want, atol=1e-6)
+
+
+def test_latency_harness_drives_the_production_staging(monkeypatch):
+    """Regression net for the round-4 review finding: `_latency`
+    reimplemented Stream feeding and silently broke when the staging
+    protocol changed (full windows fed as hop blocks + a TypeError on
+    the restructured carry).  Drive it on CPU with the expensive
+    device-scan/fetch sub-measurements stubbed — the point is that the
+    staging/dispatch machinery it times is the real Stream protocol."""
+    from emspec.bench import harness
+
+    monkeypatch.setattr(harness, "_device_scan_ms_per_hop",
+                        lambda settings, **kw: 0.01)
+    monkeypatch.setattr(harness, "_fetch_throughput_gbs", lambda: 1.0)
+    rep = harness._latency(
+        _settings(mode="enhanced", multires=False, fft_size=1024), hops=6)
+    assert rep["p50_ms"] > 0
+    assert rep["derived_local_host"]["local_host_p50_ms"] > 0
+    assert rep["hops"] == 6
+
+
 def test_checkpoint_extensionless_path_roundtrip(tmp_path):
     """save_stream(p)/load_stream(p) must agree on the on-disk name even
     when p has no .npz suffix (np.savez appends one on save)."""

@@ -183,3 +183,10 @@ def test_write_wav_channels_first_escape_hatch(tmp_path):
     write_wav(tmp_path / "t.wav", y, 48_000, channels_first=False)
     got, _ = read_wav(tmp_path / "t.wav")
     assert got.shape == (2, 1000)
+    # 1-D is unambiguous mono under ANY declared layout (round-4 review:
+    # channels_first=False used to transpose the promoted (1, n) into an
+    # n-channel 1-sample file)
+    write_wav(tmp_path / "m.wav", np.zeros(1000, np.float32), 48_000,
+              channels_first=False)
+    got, _ = read_wav(tmp_path / "m.wav")
+    assert got.shape == (1, 1000)
