@@ -116,7 +116,21 @@ def cmd_render(args) -> int:
               f"{audio.shape[0]} channels tiled, mode={s.mode}, sr={rate}")
         return 0
     x = audio[_pick_channel(audio, args.channel)]
-    if s.multires:
+    if getattr(args, "time_parallel", False):
+        if not s.multires:
+            raise UsageError(
+                "--time-parallel requires the --multires display "
+                "pipeline (the linear-axis offline raster is "
+                "single-device)")
+        # offline N-chip scaling: shard the render over the time axis
+        # (emspec.parallel.TimeParallelRenderer; on one device this is
+        # simply the same render through the sharded program)
+        from emspec.parallel import TimeParallelRenderer, channel_mesh
+        r = TimeParallelRenderer(s, channel_mesh(axis="t"))
+        _, rgba, _ = r.render(x)
+        import numpy as _np
+        img = _np.asarray(rgba).transpose(1, 0, 2)[::-1]
+    elif s.multires:
         from emspec.pipeline import render_image_multires
         img = render_image_multires(x, s)
     else:
@@ -343,6 +357,10 @@ def main(argv=None) -> int:
     pr.add_argument("input")
     pr.add_argument("output")
     pr.add_argument("--channel", default="0", help="channel index, or 'all' for a tiled per-channel view (always the log-frequency display path, like stream/gui; a plain single-channel render without --multires uses the linear-axis offline raster)")
+    pr.add_argument("--time-parallel", action="store_true",
+                    help="shard the render over the TIME axis across all "
+                         "visible devices (offline N-chip scaling; "
+                         "requires the --multires display pipeline)")
     _add_settings_args(pr)
     pr.set_defaults(fn=cmd_render)
 

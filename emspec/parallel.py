@@ -21,6 +21,7 @@ collectives and rides ICI.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -189,6 +190,129 @@ class ShardedStream:
         (the snapshot's mesh size need not match — channels must)."""
         self._carry = jax.device_put(state["carry"], self._sh_carry)
         self._t = int(state["t"])
+
+
+class TimeParallelRenderer:
+    """Offline batch rendering sharded over the TIME axis (SURVEY §2.5):
+    a long recording's spectrogram computed N× faster on an N-device
+    mesh.  The channel axis shards live streaming (:class:`ShardedStream`);
+    this is the other honest parallel axis — offline t is embarrassingly
+    parallel except for two couplings, each resolved the scaling-book
+    way (pick the mesh, move summaries not series, let XLA ride ICI):
+
+    * **Reassignment reach**: deposits from frame f land in columns
+      f ± R, so a shard boundary column needs its neighbor's frames.
+      Resolved by HALO RECOMPUTE, not communication: each device
+      analyzes its L columns plus R frames of halo on each side (R ≪ L)
+      and keeps the interior — deposits crossing the boundary are
+      regenerated locally by both owners, bit-identically, because the
+      padded global signal is replicated and a zero-padded frame
+      deposits nothing (the flush semantic).
+    * **Post-chain state**: the two constant-α EMA recurrences compose
+      affinely over a chunk, so one ``all_gather`` of (n_dev, …) chunk
+      finals + an exact re-basing replaces the sequential scan
+      (:func:`emspec.post.chain.postprocess_batch_timeshard`).
+
+    Tolerance: the analysis interior is the batch computation on the
+    same values; the post re-basing reassociates the EMAs — the same
+    ~1e-6 class as the associative scan the TPU batch path already
+    uses.  tests/test_parallel.py pins equality vs the single-device
+    batch on the virtual mesh, plus shard shapes (no silent
+    replication) and the collective census (exactly the two
+    all_gathers + the final-state psum).
+    """
+
+    def __init__(self, settings: Settings, mesh: Mesh, params=None):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.pipe: Pipeline = get_pipeline(settings)
+        self.settings = settings
+        self.params = params or self.pipe.params(settings)
+        self._jit_cache = {}
+
+    def _build(self, t_count: int, lead: tuple):
+        from jax import shard_map
+
+        from emspec.config import MODE_ENHANCED
+        from emspec.post.chain import postprocess_batch_timeshard
+        from emspec.post.colormap import apply_lut
+
+        pipe, ax = self.pipe, self.axis
+        n = self.mesh.devices.size
+        L = -(-t_count // n)                       # ceil: columns per device
+        R, hop, n_max = pipe.reach, pipe.hop, pipe.n_max
+        t_local = L + 2 * R
+        slice_len = (t_local - 1) * hop + n_max
+        agc_global = self.settings.agc_global
+
+        def local_fn(x_pad, p, state0):
+            d = jax.lax.axis_index(ax)
+            xd = jax.lax.dynamic_slice_in_dim(
+                x_pad, d * (L * hop), slice_len, axis=-1)
+            # halo frames outside the GLOBAL frame range must not
+            # deposit: left-of-0 frames are all-zero (the pad) but a
+            # trailing partial frame holds real samples the batch never
+            # analyzes — mask both (pipeline._enhanced_power docstring)
+            g = jnp.arange(t_local) + (d * L - R)
+            frame_valid = ((g >= 0) & (g < t_count)).astype(jnp.float32)
+            power = (pipe._enhanced_power(xd, t_local, p, frame_valid)
+                     if self.settings.mode == MODE_ENHANCED
+                     else pipe._natural_power(xd, t_local, p))
+            power = jnp.moveaxis(power, -2, 0)[R:R + L]   # interior columns
+            valid = jnp.clip(t_count - d * L, 0, L)
+            vis, st_out = postprocess_batch_timeshard(
+                power, state0, p.post, ax, agc_global, valid_count=valid)
+            rgba = apply_lut(vis, p.lut)
+            # global final state = carry-out of the device owning column
+            # t_count−1, shipped to every device via a masked psum
+            owner = (t_count - 1) // L
+            sel = (d == owner).astype(jnp.float32)
+            st_fin = jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a * sel, ax), st_out)
+            return vis, rgba, st_fin
+
+        # check_vma=False: the Pallas kernels (fused deposits, MXU
+        # scatter) declare no varying-mesh-axes metadata on their out
+        # shapes, which jax 0.9's vma checker rejects inside shard_map;
+        # the collective structure is pinned by test instead
+        # (test_time_parallel_render_collective_census)
+        return jax.jit(shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=(P(ax), P(ax), P()),
+            check_vma=False,
+        )), L, slice_len
+
+    def render(self, x, state: PostState | None = None):
+        """x: (samples,) or (channels, samples) → (vis (t, ..., rows),
+        rgba (t, ..., rows, 4), final PostState) — the time axis sharded
+        over the mesh, numerically the single-device ``Pipeline.process``
+        up to the documented EMA re-basing tolerance."""
+        x = np.asarray(x, np.float32)
+        pipe = self.pipe
+        t_count = pipe.num_columns(x.shape[-1])
+        if t_count <= 0:
+            raise ValueError(f"need at least {pipe.n_max} samples")
+        lead = x.shape[:-1]
+        key = (t_count, lead)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build(t_count, lead)
+        f, L, slice_len = self._jit_cache[key]
+        n = self.mesh.devices.size
+        R, hop = pipe.reach, pipe.hop
+        # padded coordinates: R·hop zeros on the left (so device 0's halo
+        # exists), zeros on the right covering the last device's slice —
+        # and at least the whole signal (trailing samples past the last
+        # complete window still need a home; natural mode's R=0 slices
+        # would otherwise undershoot len(x))
+        need = max((n - 1) * (L * hop) + slice_len,
+                   R * hop + x.shape[-1])
+        x_pad = np.zeros(lead + (need,), np.float32)
+        x_pad[..., R * hop: R * hop + x.shape[-1]] = x
+        st = state if state is not None else PostState.init(
+            lead + (pipe.rows,))
+        vis, rgba, st_fin = f(x_pad, self.params, st)
+        return vis[:t_count], rgba[:t_count], st_fin
 
 
 def stream_signal_sharded(x: np.ndarray, settings: Settings, mesh: Mesh):

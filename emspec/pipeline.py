@@ -438,18 +438,38 @@ class Pipeline:
         return (len(self.sizes) > 1 and jax.default_backend() == "tpu"
                 and self.settings.scatter != "segment_sum")
 
-    def _enhanced_power(self, x, t_count, p: PipelineParams):
-        """Reassigned 2-D histogram directly on the (t, rows) display grid."""
+    def _enhanced_power(self, x, t_count, p: PipelineParams,
+                        frame_valid=None):
+        """Reassigned 2-D histogram directly on the (t, rows) display grid.
+
+        ``frame_valid``: optional (t,) float mask zeroing the deposits of
+        frames that exist only as analysis halo (time-sharded rendering,
+        ``emspec.parallel.TimeParallelRenderer``): a shard's local frame
+        range extends past the global [0, t_count) to recompute boundary
+        deposits, and a trailing PARTIAL frame — one the global batch
+        never analyzes because its window ends past the signal — must
+        not deposit into the kept columns."""
         frames_list = self._bank_inputs(x, t_count)
+
+        def fmask(c):                                  # (..., t, K)
+            return c if frame_valid is None else c * frame_valid[:, None]
+
         if self.use_mixed_scatter:
             # multibank batch: per-bank scatter, each with its own reach
-            return self._scatter_mixed(
-                self._deposits_banked(frames_list, p), t_count, x.shape[:-1])
+            rows_l, delta_l, contrib_l = self._deposits_banked(
+                frames_list, p)
+            contrib_l = [fmask(c) for c in contrib_l]
+            return self._scatter_mixed((rows_l, delta_l, contrib_l),
+                                       t_count, x.shape[:-1])
         if self.use_pallas_scatter:
+            # contrib is (..., t, K) on both the fused and unfused
+            # builders (the fused kernel reshapes back to the frame
+            # leading dims), so the frame mask broadcasts directly
             ids_rel, contrib = self._deposit_ids_rel(frames_list, p)
-            return self._scatter_pallas(ids_rel, contrib, t_count)
+            return self._scatter_pallas(ids_rel, fmask(contrib), t_count)
         rows_i, delta, contrib = self._deposits(frames_list, p)
-        return self._scatter_segment_sum(rows_i, delta, contrib, t_count, x.shape[:-1])
+        return self._scatter_segment_sum(rows_i, delta, fmask(contrib),
+                                         t_count, x.shape[:-1])
 
     def _scatter_mixed(self, banked, t_count, lead):
         """Per-bank scatter for the batch multibank path: bank b's

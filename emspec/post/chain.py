@@ -191,6 +191,100 @@ def postprocess_batch(
     return out, PostState(smooth=smooth_final, agc_ref=ref_final)
 
 
+def _affine_chunk_in(y0, fin_all, alpha_L, axis_name):
+    """Incoming EMA state for this device's time chunk.
+
+    With constant per-step α, a length-L chunk composes to the affine map
+    ``y_out = α^L·y_in + B`` where ``B`` is the chunk's zero-init final
+    (``fin_all[k]`` for chunk k, gathered over the mesh).  Unrolling
+    across the d preceding chunks:
+
+        y_in(d) = α^(L·d)·y0  +  Σ_{k<d} α^(L·(d−1−k))·B_k
+
+    Computed identically on every device from the gathered finals — a
+    tiny (n_dev, …) contraction, the only cross-device data the post
+    chain needs (scaling-book recipe: collect the per-chunk summaries,
+    not the series)."""
+    d = jax.lax.axis_index(axis_name)
+    n = fin_all.shape[0]
+    k = jnp.arange(n)
+    expo = jnp.maximum(d - 1 - k, 0).astype(jnp.float32)
+    w = jnp.where(k < d, jnp.power(alpha_L, expo), 0.0)
+    w = w.reshape((n,) + (1,) * (fin_all.ndim - 1))
+    return jnp.power(alpha_L, d.astype(jnp.float32)) * y0 \
+        + jnp.sum(w * fin_all, axis=0)
+
+
+def postprocess_batch_timeshard(
+    power_local: jnp.ndarray, state0: PostState, p: PostParams,
+    axis_name: str, global_agc: bool = False, valid_count=None,
+) -> tuple[jnp.ndarray, PostState]:
+    """Post chain for a TIME-sharded batch under ``shard_map``
+    (SURVEY §2.5; used by :class:`emspec.parallel.TimeParallelRenderer`).
+
+    ``power_local``: this device's contiguous (L, ..., rows) column
+    chunk; ``state0`` the GLOBAL initial post state (replicated).  The
+    chain's only sequential couplings are the two constant-α EMAs (AGC
+    reference, temporal smoothing), and a constant-α EMA over a chunk is
+    an affine map of its incoming state — so each device scans its chunk
+    zero-initialized, one ``all_gather`` ships the (n_dev, …) chunk
+    finals, and the exact correction ``y_t = α^(t+1)·y_in + y_t(0)``
+    re-bases the local series.  Everything else is elementwise and stays
+    on-device.  Tolerance: the re-basing reassociates the float
+    recurrence — same ~1e-6 class as the associative scan the TPU batch
+    path already uses (``_ema_scan`` docstring); the CPU bit-exact pin
+    stays on the unsharded paths.
+
+    Returns (vis_local, carry-out PostState of THIS chunk) — the global
+    final state is the LAST device's carry-out; the renderer selects it
+    with a masked ``psum``."""
+    L = power_local.shape[0]
+    boosted = power_local * p.low_end_ramp * p.gain                # 1-2
+    v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # 3
+
+    peak_db = jnp.max(v_db, axis=-1)                               # (L, ...)
+    if global_agc:
+        lead_axes = tuple(range(1, peak_db.ndim))
+        if lead_axes:
+            peak_db = jnp.broadcast_to(
+                jnp.max(peak_db, axis=lead_axes, keepdims=True), peak_db.shape)
+
+    zero_ref = jnp.zeros_like(state0.agc_ref)
+    refs0, ref_fin0 = _ema_scan(zero_ref, AGC_DECAY, peak_db, True)
+    ref_in = _affine_chunk_in(
+        state0.agc_ref, jax.lax.all_gather(ref_fin0, axis_name),
+        jnp.float32(AGC_DECAY ** L), axis_name)
+    tpow = jnp.float32(AGC_DECAY) ** jnp.arange(1, L + 1, dtype=jnp.float32)
+    tpow = tpow.reshape((L,) + (1,) * (refs0.ndim - 1))
+    refs = tpow * ref_in + refs0
+    offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - refs)
+    v_db = v_db + offset[..., None]                                # 4
+
+    v_db = jnp.where(v_db < p.noise_gate_db, DB_FLOOR, v_db)       # 5
+    vis = jnp.clip((v_db - (AGC_TARGET_DB - p.db_range)) / p.db_range,
+                   0.0, 1.0)                                       # 6
+
+    zero_smooth = jnp.zeros_like(state0.smooth)
+    smooth0, smooth_fin0 = _ema_scan(zero_smooth, p.smoothing, vis, True)
+    s_in = _affine_chunk_in(
+        state0.smooth, jax.lax.all_gather(smooth_fin0, axis_name),
+        jnp.power(p.smoothing, jnp.float32(L)), axis_name)
+    spow = jnp.power(p.smoothing,
+                     jnp.arange(1, L + 1, dtype=jnp.float32))
+    spow = spow.reshape((L,) + (1,) * (smooth0.ndim - 1))
+    smoothed = spow * s_in + smooth0                               # 7
+    out = jnp.clip(smoothed * (2.0 * p.brightness), 0.0, 1.0)      # 8
+    # carry-out: the state at the last VALID local column (a chunk that
+    # extends past the signal's t_count carries padded zero columns
+    # whose state evolution must not leak into the global final state)
+    if valid_count is None:
+        idx = L - 1
+    else:
+        idx = jnp.clip(valid_count - 1, 0, L - 1)
+    return out, PostState(smooth=jnp.take(smoothed, idx, axis=0),
+                          agc_ref=jnp.take(refs, idx, axis=0))
+
+
 def low_end_ramp(freqs_hz: np.ndarray, boost: float, cutoff_hz: float) -> np.ndarray:
     """Per-frequency bass-boost factor (README.md:49 "Emphasize bass").
 

@@ -122,6 +122,26 @@ def test_stream_cli_all_channels(tmp_path, capsys):
     assert out.exists()
 
 
+def test_render_cli_time_parallel(tmp_path, capsys):
+    """--time-parallel routes the multires render through the
+    time-sharded program (pixel-identical on however many devices are
+    visible) and cleanly rejects the linear-axis raster path."""
+    wav = tmp_path / "t.wav"
+    write_wav(wav, synth.chirp(200.0, 6000.0, 0.4), 48_000)
+    out_a = tmp_path / "a.png"
+    out_b = tmp_path / "b.png"
+    assert main(["render", str(wav), str(out_a), "--multires"]) == 0
+    assert main(["render", str(wav), str(out_b), "--multires",
+                 "--time-parallel"]) == 0
+    capsys.readouterr()
+    # deterministic encoder: pixel-identical renders are byte-identical
+    assert out_a.read_bytes() == out_b.read_bytes()
+    rc = main(["render", str(wav), str(tmp_path / "c.png"),
+               "--time-parallel"])
+    assert rc == 2
+    assert "--multires" in capsys.readouterr().err
+
+
 def test_note_cli(capsys):
     assert main(["note", "440"]) == 0
     assert "A4" in capsys.readouterr().out

@@ -230,6 +230,89 @@ def test_sharded_stream_npz_checkpoint_roundtrip(tmp_path):
 
 
 @needs_mesh
+def test_time_parallel_render_matches_single_device():
+    """TIME-axis offline rendering (the other parallel seam, SURVEY
+    §2.5): halo-recompute analysis + affine EMA re-basing must equal the
+    single-device batch to the EMA-reassociation tolerance, with RGBA
+    quantum-exact, across modes and with multichannel global AGC."""
+    from emspec.parallel import TimeParallelRenderer
+
+    n_dev = len(jax.devices())
+    for mode, mr, ch in (("enhanced", True, 1), ("natural", False, 1),
+                         ("enhanced", True, 2)):
+        s = _settings(mode=mode, multires=mr, channels=ch,
+                      smoothing=0.4, auto_gain=True, agc_global=ch > 1)
+        one = synth.chirp(150.0, 8000.0, 1.1, SR)
+        x = (np.stack([one * (c + 1) for c in range(ch)])
+             if ch > 1 else np.asarray(one, np.float32))
+        r = TimeParallelRenderer(s, channel_mesh(axis="t"))
+        vis, rgba, st = r.render(x)
+        vis1, rgba1, st1 = Pipeline(s).process(x)
+        np.testing.assert_allclose(np.asarray(vis), np.asarray(vis1),
+                                   atol=1e-5)
+        dq = np.abs(np.asarray(rgba).astype(np.int16)
+                    - np.asarray(rgba1).astype(np.int16))
+        assert dq.max() <= 1
+        np.testing.assert_allclose(np.asarray(st.smooth),
+                                   np.asarray(st1.smooth), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(st.agc_ref),
+                                   np.asarray(st1.agc_ref), atol=1e-4)
+        # really sharded over the mesh, L columns per device
+        assert len(vis.sharding.device_set) == n_dev
+
+
+@needs_mesh
+def test_time_parallel_render_collective_census():
+    """Pin the comm design: the whole time-parallel render ships only
+    the two (n_dev, …) EMA chunk-final all_gathers and the final-state
+    psum — the analysis halo is RECOMPUTED, never communicated (no
+    all-to-all / collective-permute / extra all-reduces creeping in)."""
+    from emspec.parallel import TimeParallelRenderer
+    from emspec.post.chain import PostState
+
+    s = _settings(mode="enhanced", smoothing=0.4, auto_gain=True)
+    x = np.asarray(synth.chirp(150.0, 8000.0, 1.1, SR), np.float32)
+    r = TimeParallelRenderer(s, channel_mesh(axis="t"))
+    t_count = r.pipe.num_columns(len(x))
+    f, L, slice_len = r._build(t_count, ())
+    n = len(jax.devices())
+    R, hop = r.pipe.reach, r.pipe.hop
+    need = max((n - 1) * (L * hop) + slice_len, R * hop + len(x))
+    x_pad = np.zeros(need, np.float32)
+    state = PostState.init((r.pipe.rows,))
+    txt = f.lower(x_pad, r.params, state).compile().as_text()
+    n_ag = txt.count(" all-gather(") + txt.count(" all-gather-start(")
+    n_ar = txt.count(" all-reduce(") + txt.count(" all-reduce-start(")
+    assert n_ag == 2, f"expected exactly 2 all-gathers, found {n_ag}"
+    assert n_ar <= 2, f"unexpected all-reduces: {n_ar}"   # psum on 2 state leaves
+    assert "all-to-all" not in txt and "collective-permute" not in txt
+
+
+@needs_mesh
+def test_time_parallel_render_uneven_tail():
+    """t_count not divisible by the mesh: the padded tail columns must
+    neither appear in the output nor leak into the final post state."""
+    from emspec.parallel import TimeParallelRenderer
+
+    s = _settings(mode="enhanced", smoothing=0.5, auto_gain=True)
+    r = TimeParallelRenderer(s, channel_mesh(axis="t"))
+    hop, n_max = r.pipe.hop, r.pipe.n_max
+    n_dev = len(jax.devices())
+    # pick a sample count giving t_count ≡ 3 (mod n_dev)
+    t_target = 2 * n_dev + 3
+    x = np.asarray(synth.chirp(200.0, 6000.0,
+                               ((t_target - 1) * hop + n_max) / SR, SR),
+                   np.float32)[: (t_target - 1) * hop + n_max]
+    assert r.pipe.num_columns(len(x)) == t_target
+    vis, _, st = r.render(x)
+    vis1, _, st1 = Pipeline(s).process(x)
+    assert vis.shape[0] == t_target == vis1.shape[0]
+    np.testing.assert_allclose(np.asarray(vis), np.asarray(vis1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(st.smooth),
+                               np.asarray(st1.smooth), atol=1e-5)
+
+
+@needs_mesh
 def test_sharded_step_partitions_buffers_as_ch_over_n():
     """Replication-proof (round-3 VERDICT #3b): the collective-structure
     pin alone would pass on a silently fully-replicated program.  Assert

@@ -247,6 +247,31 @@ def test_rolling_stream_equals_full_window_on_tpu():
                                maximum_filter(want, 3), atol=1e-5)
 
 
+def test_time_parallel_render_mosaic_in_shard_map():
+    """The time-sharded offline renderer wraps the TPU fast paths
+    (fused fft4 deposits + MXU pallas scatter) in ``shard_map`` — pin
+    that Mosaic compiles and matches the plain batch INSIDE shard_map
+    on the real chip (1-device mesh here; the multi-device semantics
+    are pinned by tests/test_parallel.py on the virtual mesh)."""
+    from emspec.config import Settings
+    from emspec.io import synth
+    from emspec.parallel import TimeParallelRenderer, channel_mesh
+    from emspec.pipeline import Pipeline
+
+    s = Settings(mode="enhanced", multires=False, fft_size=8192)
+    pipe = Pipeline(s)
+    assert pipe.use_pallas_scatter          # the Mosaic path is active
+    x = np.asarray(synth.chirp(100.0, 18000.0, 0.8), np.float32)
+    r = TimeParallelRenderer(s, channel_mesh(axis="t"))
+    vis, rgba, _ = r.render(x)
+    vis1, rgba1, _ = pipe.process(x)
+    np.testing.assert_allclose(np.asarray(vis), np.asarray(vis1),
+                               atol=1e-5)
+    dq = np.abs(np.asarray(rgba).astype(np.int16)
+                - np.asarray(rgba1).astype(np.int16))
+    assert dq.max() <= 1
+
+
 def test_roofline_model_matches_measured_kernels():
     """VERDICT round-2 #7: the roofline model's per-stage flop/byte
     formulas must reproduce reality within ~2×, not drift as formulas.
