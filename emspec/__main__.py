@@ -106,22 +106,35 @@ def cmd_render(args) -> int:
               f"{n_need} — use a longer file or {fix}",
               file=sys.stderr)
         return 2
+    time_parallel = getattr(args, "time_parallel", False)
+    if time_parallel and not (s.multires or args.channel == "all"):
+        raise UsageError(
+            "--time-parallel requires the log-frequency display "
+            "pipeline (--multires, or --channel all which always uses "
+            "it); the linear-axis offline raster is single-device")
     if args.channel == "all":
         # tiled per-channel view (log-frequency display path), one batched
         # pipeline pass over all channels
-        from emspec.pipeline import render_images_channels
-        img = tile_images(render_images_channels(audio, s))
+        if time_parallel:
+            # channels ride unsharded; the time axis shards over devices
+            import numpy as _np
+            from emspec.parallel import TimeParallelRenderer, channel_mesh
+            sc = s.replace(channels=audio.shape[0], display_channel=0)
+            r = TimeParallelRenderer(sc, channel_mesh(axis="t"))
+            _, rgba, _ = r.render(audio)
+            raster = _np.asarray(rgba)            # (t, ch, rows, 4)
+            imgs = [raster[:, c].transpose(1, 0, 2)[::-1]
+                    for c in range(raster.shape[1])]
+        else:
+            from emspec.pipeline import render_images_channels
+            imgs = render_images_channels(audio, s)
+        img = tile_images(imgs)
         write_png(args.output, img)
         print(f"{args.output}: {img.shape[1]}x{img.shape[0]} px, "
               f"{audio.shape[0]} channels tiled, mode={s.mode}, sr={rate}")
         return 0
     x = audio[_pick_channel(audio, args.channel)]
-    if getattr(args, "time_parallel", False):
-        if not s.multires:
-            raise UsageError(
-                "--time-parallel requires the --multires display "
-                "pipeline (the linear-axis offline raster is "
-                "single-device)")
+    if time_parallel:
         # offline N-chip scaling: shard the render over the time axis
         # (emspec.parallel.TimeParallelRenderer; on one device this is
         # simply the same render through the sharded program)

@@ -257,13 +257,15 @@ def _latency(settings, hops: int = 200) -> dict:
             "hops": hops}
 
 
-def _fetch_throughput_gbs(reps: int = 5) -> float:
-    """Measured device→host bulk-transfer rate in GB/s, as the SIZE
-    MARGINAL between a small and a large fetch so the fixed per-fetch
-    round-trip (the tunnel's ~30 ms here, a PCIe doorbell locally)
-    cancels — the same two-point technique as chain_marginal_ms.
-    Medians over reps; arrays are freshly computed on device each rep so
-    no cache/dedup path can satisfy the fetch."""
+def _fetch_throughput_gbs(reps: int = 5) -> float | None:
+    """Measured device→host bulk-transfer rate in GB/s, or None when
+    unmeasurable (every size-marginal sample non-positive — callers
+    must surface that rather than derive numbers from a fabricated
+    rate).  Measured as the SIZE MARGINAL between a small and a large
+    fetch so the fixed per-fetch round-trip (the tunnel's ~30 ms here,
+    a PCIe doorbell locally) cancels — the same two-point technique as
+    chain_marginal_ms.  Medians over reps; arrays are freshly computed
+    on device each rep so no cache/dedup path can satisfy the fetch."""
     import jax
     import jax.numpy as jnp
 

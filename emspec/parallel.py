@@ -161,11 +161,20 @@ class ShardedStream:
                 [np.zeros((ch, hop), np.float32),
                  np.asarray(window, np.float32)[..., :n_max - hop]], axis=-1)
         self._carry = (jax.device_put(w, self._sh_window), self._carry[1])
+        self.needs_window_prime = False
 
     def step(self, block: np.ndarray):
         """One hop: (channels, hop) NEW samples → finalized column or
         None (warmup: the first ``reach`` hops emit nothing, like
         Stream)."""
+        if getattr(self, "needs_window_prime", False):
+            # set by checkpoint migration of a pre-rolling-window
+            # snapshot: the window leaf is zeros and CANNOT continue
+            # the roll — stepping would silently emit wrong columns
+            raise RuntimeError(
+                "this stream was restored from a pre-rolling-window "
+                "snapshot: call reset_window(window_at_resume_point) "
+                "before the next step")
         dev = jax.device_put(np.asarray(block, np.float32),
                              self._sh_block)
         self._carry, (vis, rgba, _) = self._step(self._carry, dev,
@@ -230,7 +239,7 @@ class TimeParallelRenderer:
         self.params = params or self.pipe.params(settings)
         self._jit_cache = {}
 
-    def _build(self, t_count: int, lead: tuple):
+    def _build(self, t_count: int):
         from jax import shard_map
 
         from emspec.config import MODE_ENHANCED
@@ -296,7 +305,7 @@ class TimeParallelRenderer:
         lead = x.shape[:-1]
         key = (t_count, lead)
         if key not in self._jit_cache:
-            self._jit_cache[key] = self._build(t_count, lead)
+            self._jit_cache[key] = self._build(t_count)
         f, L, slice_len = self._jit_cache[key]
         n = self.mesh.devices.size
         R, hop = pipe.reach, pipe.hop

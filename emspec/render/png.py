@@ -59,3 +59,32 @@ def write_png(path: str | Path, rgba: np.ndarray) -> None:
                + chunk(b"IDAT", zlib.compress(raw, 6))
                + chunk(b"IEND", b""))
     Path(path).write_bytes(payload)
+
+
+def read_png(path: str | Path) -> np.ndarray:
+    """Minimal decoder for PNGs written by :func:`write_png` (8-bit
+    RGB/RGBA, filter 0 on every scanline, one IDAT stream) — enough for
+    tests and tools to read our own output back without a dependency."""
+    data = Path(path).read_bytes()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"{path}: not a PNG")
+    pos, w = 8, None
+    idat = b""
+    while pos < len(data):
+        (ln,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or color not in (2, 6):
+                raise ValueError(f"{path}: unsupported PNG (not write_png output)")
+            c = 4 if color == 6 else 3
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 1 + w * c
+    rows = [np.frombuffer(raw[r * stride + 1:(r + 1) * stride], np.uint8)
+            for r in range(h)]
+    if any(raw[r * stride] != 0 for r in range(h)):
+        raise ValueError(f"{path}: non-zero PNG filter (not write_png output)")
+    return np.stack(rows).reshape(h, w, c)

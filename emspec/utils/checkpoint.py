@@ -145,16 +145,22 @@ def save_sharded_stream(path: str | Path, stream) -> None:
     np.savez(path, **payload)
 
 
-def load_sharded_stream(path: str | Path, stream) -> None:
+def load_sharded_stream(path: str | Path, stream) -> bool:
     """Restore :func:`save_sharded_stream` state into a freshly built
     ShardedStream with identical Settings (any mesh size; load_state
     re-shards onto the stream's own mesh).
 
-    Pre-rolling-window snapshots migrate with a ZEROED window: the
-    caller must ``reset_window(window_at_resume_point)`` before the
-    next ``step`` (ShardedStream owns no ring to re-prime from)."""
+    Returns True when the snapshot was a pre-rolling-window layout and
+    was MIGRATED with a zeroed window — the caller must then
+    ``reset_window(window_at_resume_point)`` before the next ``step``
+    (ShardedStream owns no ring to re-prime from; the stream also
+    raises on ``step`` until re-primed, so a silent zero-window resume
+    cannot happen)."""
     with np.load(_npz_path(path), allow_pickle=False) as z:
         # ShardedStream's carry is the rolling-window pytree too
-        carry, _migrated = _roll_carry_from(
+        carry, migrated = _roll_carry_from(
             z, stream.pipe, (stream.settings.channels,))
         stream.load_state({"carry": carry, "t": int(z["t"])})
+    if migrated:
+        stream.needs_window_prime = True
+    return migrated

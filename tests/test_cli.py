@@ -142,6 +142,25 @@ def test_render_cli_time_parallel(tmp_path, capsys):
     assert "--multires" in capsys.readouterr().err
 
 
+def test_render_cli_time_parallel_all_channels(tmp_path, capsys):
+    """--time-parallel composes with --channel all: channels ride
+    unsharded while the TIME axis shards over devices, and the tiled
+    output is pixel-identical to the single-program tiled render."""
+    wav = tmp_path / "tp2.wav"
+    x = np.stack([np.asarray(synth.tone(440.0, 0.4)),
+                  np.asarray(synth.chirp(200.0, 6000.0, 0.4))])
+    write_wav(wav, x, 48_000)
+    out_a = tmp_path / "a.png"
+    out_b = tmp_path / "b.png"
+    assert main(["render", str(wav), str(out_a), "--channel", "all",
+                 "--multires"]) == 0
+    assert main(["render", str(wav), str(out_b), "--channel", "all",
+                 "--multires", "--time-parallel"]) == 0
+    msg = capsys.readouterr().out
+    assert "2 channels tiled" in msg
+    assert out_a.read_bytes() == out_b.read_bytes()
+
+
 def test_note_cli(capsys):
     assert main(["note", "440"]) == 0
     assert "A4" in capsys.readouterr().out

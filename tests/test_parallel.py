@@ -230,6 +230,66 @@ def test_sharded_stream_npz_checkpoint_roundtrip(tmp_path):
 
 
 @needs_mesh
+def test_sharded_checkpoint_migration_guards_step(tmp_path):
+    """A pre-rolling-window sharded snapshot (round-4 carry layout
+    change) migrates with a ZEROED window.  ShardedStream owns no ring
+    to re-prime from, so the restored stream must REFUSE to step until
+    ``reset_window`` re-primes it — a silent zero-window resume would
+    emit wrong columns — and after re-priming the continuation must
+    match the uninterrupted stream."""
+    from emspec.parallel import ShardedStream
+    from emspec.utils.checkpoint import (load_sharded_stream,
+                                         save_sharded_stream)
+
+    n_dev = len(jax.devices())
+    s = _settings(channels=n_dev, smoothing=0.4)
+    x = np.stack([synth.tone(200.0 * (c + 1), 0.1, SR)
+                  for c in range(s.channels)])
+
+    def blk(st, t):
+        return x[:, t * st.pipe.hop + st.pipe.n_max - st.pipe.hop:
+                 t * st.pipe.hop + st.pipe.n_max]
+
+    a = ShardedStream(s, channel_mesh())
+    hops = a.pipe.num_columns(x.shape[-1])
+    mid = hops // 2
+    a.reset_window(x[:, :a.pipe.n_max])
+    for t in range(mid):
+        a.step(blk(a, t))
+    ck = tmp_path / "ck"
+    save_sharded_stream(ck, a)
+
+    # rewrite the npz in the OLD layout: drop the window leaf (carry_0)
+    # and renumber the inner leaves down (same forgery as
+    # test_ops.test_checkpoint_migrates_pre_rolling_layout)
+    z = dict(np.load(tmp_path / "ck.npz", allow_pickle=False))
+    n_carry = sum(1 for k in z if k.startswith("carry_"))
+    old = {k: v for k, v in z.items() if not k.startswith("carry_")}
+    for i in range(1, n_carry):
+        old[f"carry_{i - 1}"] = z[f"carry_{i}"]
+    np.savez(tmp_path / "ck.npz", **old)
+
+    b = ShardedStream(s, channel_mesh())
+    assert load_sharded_stream(ck, b) is True       # migrated
+    with pytest.raises(RuntimeError, match="reset_window"):
+        b.step(blk(b, mid))
+    # re-prime with the window at the resume point: hop `mid` analyzes
+    # x[:, mid*hop : mid*hop + n_max], whose completing block is
+    # blk(mid) — exactly the reset_window feed-protocol contract
+    hop, n_max = b.pipe.hop, b.pipe.n_max
+    b.reset_window(x[:, mid * hop: mid * hop + n_max])
+    for t in range(mid, hops):
+        w = blk(a, t)
+        oa, ob = a.step(w), b.step(w)
+        if oa is None:
+            assert ob is None
+            continue
+        assert oa[0] == ob[0]
+        np.testing.assert_allclose(np.asarray(oa[1]), np.asarray(ob[1]),
+                                   atol=1e-6)
+
+
+@needs_mesh
 def test_time_parallel_render_matches_single_device():
     """TIME-axis offline rendering (the other parallel seam, SURVEY
     §2.5): halo-recompute analysis + affine EMA re-basing must equal the
@@ -274,7 +334,7 @@ def test_time_parallel_render_collective_census():
     x = np.asarray(synth.chirp(150.0, 8000.0, 1.1, SR), np.float32)
     r = TimeParallelRenderer(s, channel_mesh(axis="t"))
     t_count = r.pipe.num_columns(len(x))
-    f, L, slice_len = r._build(t_count, ())
+    f, L, slice_len = r._build(t_count)
     n = len(jax.devices())
     R, hop = r.pipe.reach, r.pipe.hop
     need = max((n - 1) * (L * hop) + slice_len, R * hop + len(x))

@@ -230,6 +230,22 @@ def test_waterfall_speed_one_bit_identical():
     np.testing.assert_array_equal(wf.image()[:, -1], np.asarray(col)[::-1])
 
 
+def test_read_png_roundtrip(tmp_path):
+    """read_png decodes exactly what write_png encodes (RGBA and RGB) —
+    the dependency-free reader tests and tools use to load our own
+    rasters back."""
+    from emspec.render.png import read_png, write_png
+    rng = np.random.default_rng(7)
+    for c in (4, 3):
+        img = rng.integers(0, 256, (5, 9, c)).astype(np.uint8)
+        p = tmp_path / f"x{c}.png"
+        write_png(p, img)
+        np.testing.assert_array_equal(read_png(p), img)
+    (tmp_path / "bad.png").write_bytes(b"not a png at all")
+    with pytest.raises(ValueError, match="not a PNG"):
+        read_png(tmp_path / "bad.png")
+
+
 def test_tile_images_grid():
     from emspec.render.png import tile_images
     imgs = [np.full((4, 6, 4), i, np.uint8) for i in range(5)]
