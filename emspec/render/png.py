@@ -81,6 +81,8 @@ def read_png(path: str | Path) -> np.ndarray:
         elif tag == b"IDAT":
             idat += body
         pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError(f"{path}: truncated PNG (missing IHDR or IDAT)")
     raw = zlib.decompress(idat)
     stride = 1 + w * c
     rows = [np.frombuffer(raw[r * stride + 1:(r + 1) * stride], np.uint8)

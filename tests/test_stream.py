@@ -244,6 +244,9 @@ def test_read_png_roundtrip(tmp_path):
     (tmp_path / "bad.png").write_bytes(b"not a png at all")
     with pytest.raises(ValueError, match="not a PNG"):
         read_png(tmp_path / "bad.png")
+    (tmp_path / "trunc.png").write_bytes(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated"):
+        read_png(tmp_path / "trunc.png")
 
 
 def test_tile_images_grid():
