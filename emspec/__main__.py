@@ -155,6 +155,59 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export the display-ready analysis ARRAYS instead of pixels: a
+    no-pickle ``.npz`` with the pre-LUT ``vis`` values in [0, 1], the
+    frequency axis in Hz per row, the column (window-center) times in
+    seconds, and the full Settings as JSON.  The values are the same
+    quantity the PNG shows, through the identical compiled graph —
+    ``apply_lut(vis)`` reproduces the render pixel-exactly (pinned by
+    tests/test_cli.py), so downstream tooling gets numbers with the
+    whole display contract (dB window, gate, AGC, smoothing) applied."""
+    import json
+
+    import numpy as np
+
+    audio, rate = _read_wav_cli(args.input)
+    all_ch = args.channel == "all"
+    s = _settings_from(args, rate,
+                       channels=audio.shape[0] if all_ch else 1)
+    display = s.multires or all_ch      # log-frequency display pipeline
+    n_need = max(s.multires_sizes) if display else s.fft_size
+    if audio.shape[-1] < n_need:
+        raise UsageError(
+            f"{args.input} has {audio.shape[-1]} samples but one "
+            f"analysis window needs {n_need}")
+    if display:
+        # log-frequency display pipeline (same path as gui/stream)
+        from emspec.pipeline import get_pipeline
+        sc = s.replace(multires=True, display_channel=0)
+        x = audio if all_ch else audio[_pick_channel(audio, args.channel)]
+        pipe = get_pipeline(sc)
+        v, _, _ = pipe.process(x, params=pipe.params(sc))
+        vis = np.moveaxis(np.asarray(v), 0, -1)      # ([ch,] rows, t)
+        freq_hz = np.asarray(pipe._axis(sc.freq_scale), np.float64)
+        hop, n_win = pipe.hop, pipe.n_max
+    else:
+        # single-bank linear-axis offline path
+        from emspec.render.raster import render_vis
+        x = audio[_pick_channel(audio, args.channel)]
+        vis = render_vis(x, s)                       # (bins, t)
+        n_win = s.fft_size
+        hop = s.hop if s.hop > 0 else n_win // 4
+        freq_hz = (np.arange(n_win // 2 + 1, dtype=np.float64)
+                   * (rate / n_win))
+    time_s = (np.arange(vis.shape[-1], dtype=np.float64) * hop
+              + n_win / 2) / rate
+    np.savez(args.output, vis=vis.astype(np.float32), freq_hz=freq_hz,
+             time_s=time_s,
+             settings_json=np.asarray(json.dumps(s.to_dict())))
+    print(f"{args.output}: vis {'x'.join(map(str, vis.shape))} "
+          f"({freq_hz[0]:.1f}-{freq_hz[-1]:.1f} Hz x {time_s[-1]:.2f} s), "
+          f"mode={s.mode}, sr={rate}")
+    return 0
+
+
 def cmd_stream(args) -> int:
     """Feed a WAV through the real-time streaming path into a scrolling
     waterfall, then snapshot the waterfall to PNG.  ``--channel all``
@@ -376,6 +429,20 @@ def main(argv=None) -> int:
                          "requires the --multires display pipeline)")
     _add_settings_args(pr)
     pr.set_defaults(fn=cmd_render)
+
+    pe = sub.add_parser(
+        "export",
+        help="export analysis arrays to .npz (pre-LUT vis values + "
+             "frequency/time axes + settings JSON) instead of pixels")
+    pe.add_argument("input")
+    pe.add_argument("output")
+    pe.add_argument("--channel", default="0",
+                    help="channel index, or 'all' to export every channel "
+                         "(always the log-frequency display path; a plain "
+                         "single-channel export without --multires uses "
+                         "the linear-axis single-bank path)")
+    _add_settings_args(pe)
+    pe.set_defaults(fn=cmd_export)
 
     ps = sub.add_parser("stream", help="stream a WAV hop-by-hop into a scrolling waterfall PNG")
     ps.add_argument("input")

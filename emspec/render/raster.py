@@ -55,7 +55,7 @@ def _render_graph(s: Settings):
     def graph(xj):
         power = analyze(xj, s)
         vis = postprocess(power, freqs, s)
-        return apply_lut(vis, jnp.asarray(lut(s.colormap)))
+        return vis, apply_lut(vis, jnp.asarray(lut(s.colormap)))
 
     return jax.jit(graph)
 
@@ -71,6 +71,15 @@ def render_image(x, s: Settings) -> np.ndarray:
     that is a tunnel round trip per op, turning a sub-second render into
     minutes (and XLA fuses nothing).
     """
-    rgba = _render_graph(s)(jnp.asarray(x, jnp.float32))
+    _, rgba = _render_graph(s)(jnp.asarray(x, jnp.float32))
     img = np.asarray(rgba)                  # (frames, bins, 4)
     return img.transpose(1, 0, 2)[::-1]     # freq vertical, bass at bottom
+
+
+def render_vis(x, s: Settings) -> np.ndarray:
+    """(samples,) audio → (bins, frames) float32 pre-LUT display values
+    in [0, 1], bins ascending in frequency — the same quantity the PNG
+    shows before the colormap, through the identical compiled graph
+    (``emspec export``'s linear-axis payload)."""
+    vis, _ = _render_graph(s)(jnp.asarray(x, jnp.float32))
+    return np.asarray(vis).T                # (bins, frames)

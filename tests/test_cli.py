@@ -161,6 +161,62 @@ def test_render_cli_time_parallel_all_channels(tmp_path, capsys):
     assert out_a.read_bytes() == out_b.read_bytes()
 
 
+def test_export_cli_linear_matches_render(tmp_path, capsys):
+    """``emspec export`` writes the pre-LUT vis array with its axes, and
+    applying the LUT to it reproduces ``emspec render``'s PNG
+    pixel-exactly — arrays and pixels are one display contract."""
+    from emspec.post.colormap import apply_lut, lut
+    from emspec.render.png import read_png
+
+    wav = tmp_path / "e.wav"
+    write_wav(wav, synth.chirp(300.0, 9000.0, 0.5), 48_000)
+    npz, png = tmp_path / "e.npz", tmp_path / "e.png"
+    assert main(["export", str(wav), str(npz), "--fft-size", "2048"]) == 0
+    assert main(["render", str(wav), str(png), "--fft-size", "2048"]) == 0
+    z = np.load(npz, allow_pickle=False)
+    vis, freq, t = z["vis"], z["freq_hz"], z["time_s"]
+    assert vis.shape == (2048 // 2 + 1, len(t)) and len(freq) == vis.shape[0]
+    assert vis.dtype == np.float32 and 0.0 <= vis.min() <= vis.max() <= 1.0
+    assert freq[0] == 0.0 and freq[-1] == 24_000.0
+    # window centers: first column analyzes x[0:N], center N/2 samples in
+    assert t[0] == pytest.approx(1024 / 48_000)
+    s = json.loads(str(z["settings_json"]))
+    assert s["fft_size"] == 2048 and s["mode"] == "enhanced"
+    rgba = np.asarray(apply_lut(vis.T, np.asarray(lut(s["colormap"]))))
+    np.testing.assert_array_equal(rgba.transpose(1, 0, 2)[::-1],
+                                  read_png(png))
+
+
+def test_export_cli_multires_and_channels(tmp_path, capsys):
+    """The display-path export: log-frequency axis (ascending, matching
+    the pipeline's hover axis) for --multires, and one vis plane per
+    channel for --channel all."""
+    from emspec.pipeline import get_pipeline
+
+    wav = tmp_path / "m.wav"
+    x = np.stack([np.asarray(synth.tone(440.0, 0.4)),
+                  np.asarray(synth.chirp(200.0, 6000.0, 0.4))])
+    write_wav(wav, x, 48_000)
+    npz = tmp_path / "m.npz"
+    assert main(["export", str(wav), str(npz), "--multires"]) == 0
+    z = np.load(npz, allow_pickle=False)
+    assert z["vis"].ndim == 2 and np.all(np.diff(z["freq_hz"]) > 0)
+    from emspec.config import Settings
+    sc = Settings.from_dict(json.loads(str(z["settings_json"])))
+    pipe = get_pipeline(sc.replace(multires=True))
+    np.testing.assert_allclose(z["freq_hz"], pipe._axis(sc.freq_scale))
+
+    assert main(["export", str(wav), str(npz), "--channel", "all"]) == 0
+    z = np.load(npz, allow_pickle=False)
+    assert z["vis"].shape[0] == 2 and z["vis"].ndim == 3
+
+    # too-short input is a one-line usage error, not a traceback
+    short = tmp_path / "s.wav"
+    write_wav(short, synth.tone(440.0, 0.01), 48_000)
+    assert main(["export", str(short), str(npz), "--multires"]) == 2
+    assert "analysis window needs" in capsys.readouterr().err
+
+
 def test_note_cli(capsys):
     assert main(["note", "440"]) == 0
     assert "A4" in capsys.readouterr().out
