@@ -172,21 +172,22 @@ def cmd_export(args) -> int:
     all_ch = args.channel == "all"
     s = _settings_from(args, rate,
                        channels=audio.shape[0] if all_ch else 1)
-    display = s.multires or all_ch      # log-frequency display pipeline
-    n_need = max(s.multires_sizes) if display else s.fft_size
+    n_need = max(s.multires_sizes) if s.multires else s.fft_size
     if audio.shape[-1] < n_need:
         raise UsageError(
             f"{args.input} has {audio.shape[-1]} samples but one "
             f"analysis window needs {n_need}")
-    if display:
-        # log-frequency display pipeline (same path as gui/stream)
+    if s.multires or all_ch:
+        # log-frequency display pipeline — same path (and same multires
+        # setting) as `render --channel all` / stream / gui, so the
+        # exported arrays match the corresponding PNG exactly
         from emspec.pipeline import get_pipeline
-        sc = s.replace(multires=True, display_channel=0)
+        s = s.replace(display_channel=0)
         x = audio if all_ch else audio[_pick_channel(audio, args.channel)]
-        pipe = get_pipeline(sc)
-        v, _, _ = pipe.process(x, params=pipe.params(sc))
+        pipe = get_pipeline(s)
+        v, _, _ = pipe.process(x, params=pipe.params(s))
         vis = np.moveaxis(np.asarray(v), 0, -1)      # ([ch,] rows, t)
-        freq_hz = np.asarray(pipe._axis(sc.freq_scale), np.float64)
+        freq_hz = np.asarray(pipe._axis(s.freq_scale), np.float64)
         hop, n_win = pipe.hop, pipe.n_max
     else:
         # single-bank linear-axis offline path

@@ -146,6 +146,7 @@ class ShardedStream:
             ),
         )
         self._t = 0
+        self.needs_window_prime = False
 
     def reset_window(self, window: np.ndarray | None) -> None:
         """(Re)prime the device-resident rolling window.
@@ -167,7 +168,7 @@ class ShardedStream:
         """One hop: (channels, hop) NEW samples → finalized column or
         None (warmup: the first ``reach`` hops emit nothing, like
         Stream)."""
-        if getattr(self, "needs_window_prime", False):
+        if self.needs_window_prime:
             # set by checkpoint migration of a pre-rolling-window
             # snapshot: the window leaf is zeros and CANNOT continue
             # the roll — stepping would silently emit wrong columns
@@ -303,10 +304,15 @@ class TimeParallelRenderer:
         if t_count <= 0:
             raise ValueError(f"need at least {pipe.n_max} samples")
         lead = x.shape[:-1]
-        key = (t_count, lead)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = self._build(t_count)
-        f, L, slice_len = self._jit_cache[key]
+        # one program per t_count (jit re-specializes on lead shapes
+        # internally); bounded like the module-level graph caches — a
+        # directory of varying-length files must not accumulate compiled
+        # executables forever (FIFO eviction, oldest length first)
+        if t_count not in self._jit_cache:
+            while len(self._jit_cache) >= 8:
+                self._jit_cache.pop(next(iter(self._jit_cache)))
+            self._jit_cache[t_count] = self._build(t_count)
+        f, L, slice_len = self._jit_cache[t_count]
         n = self.mesh.devices.size
         R, hop = pipe.reach, pipe.hop
         # padded coordinates: R·hop zeros on the left (so device 0's halo

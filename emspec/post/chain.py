@@ -128,6 +128,38 @@ def _ema_scan(y0: jnp.ndarray, alpha, xs: jnp.ndarray,
     return ys, ys[-1]
 
 
+def _boost_db_peak(power, p: PostParams, global_agc: bool,
+                   lead_axes: tuple):
+    """Stages 1-3 + the pre-AGC per-column peak — the chain's stateless
+    head, in ONE place for every path (per-column, batch, time-sharded):
+    the docstring stage order is the parity contract, and a stage tweak
+    must be impossible to apply to one path and miss in another.
+
+    ``lead_axes``: axes of ``peak_db`` the global-AGC option couples
+    (all channel/batch axes; never the time axis)."""
+    boosted = power * p.low_end_ramp * p.gain                      # 1-2
+    v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # 3
+    peak_db = jnp.max(v_db, axis=-1)
+    if global_agc and lead_axes:
+        peak_db = jnp.broadcast_to(
+            jnp.max(peak_db, axis=lead_axes, keepdims=True), peak_db.shape)
+    return v_db, peak_db
+
+
+def _agc_gate_norm(v_db, refs, p: PostParams):
+    """Stages 4-6 given the AGC reference (column or leading-axis
+    series): AGC offset, noise gate, dB-window normalize."""
+    offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - refs)
+    v_db = v_db + offset[..., None]                                # 4
+    v_db = jnp.where(v_db < p.noise_gate_db, DB_FLOOR, v_db)       # 5
+    return jnp.clip((v_db - (AGC_TARGET_DB - p.db_range)) / p.db_range,
+                    0.0, 1.0)                                      # 6
+
+
+def _brightness_clip(smoothed, p: PostParams):
+    return jnp.clip(smoothed * (2.0 * p.brightness), 0.0, 1.0)     # 8
+
+
 def postprocess_batch(
     power_ts: jnp.ndarray, state: PostState, p: PostParams,
     global_agc: bool = False, associative: bool | None = None,
@@ -163,31 +195,20 @@ def postprocess_batch(
         assoc_smooth = on_tpu and power_ts.shape[0] >= 1024
     else:
         assoc_ref = assoc_smooth = associative
-    boosted = power_ts * p.low_end_ramp * p.gain                   # 1-2
-    v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # 3
-
-    peak_db = jnp.max(v_db, axis=-1)                               # (t, ...)
-    if global_agc:
-        lead_axes = tuple(range(1, peak_db.ndim))
-        if lead_axes:
-            peak_db = jnp.broadcast_to(
-                jnp.max(peak_db, axis=lead_axes, keepdims=True), peak_db.shape)
+    # peak_db is (t, ...): global AGC couples the lead axes after t
+    v_db, peak_db = _boost_db_peak(
+        power_ts, p, global_agc, tuple(range(1, power_ts.ndim - 1)))
 
     # AGC_DECAY stays a PYTHON float: ``1.0 - alpha`` must constant-fold
     # in f64 exactly as postprocess_column writes it, or the bit-exact
     # streaming ≡ batch pin breaks in the last mantissa bit
     refs, ref_final = _ema_scan(state.agc_ref, AGC_DECAY,
                                 peak_db, assoc_ref)
-    offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - refs)
-    v_db = v_db + offset[..., None]                                # 4
-
-    v_db = jnp.where(v_db < p.noise_gate_db, DB_FLOOR, v_db)       # 5
-    vis = jnp.clip((v_db - (AGC_TARGET_DB - p.db_range)) / p.db_range,
-                   0.0, 1.0)                                       # 6
+    vis = _agc_gate_norm(v_db, refs, p)                            # 4-6
 
     smoothed, smooth_final = _ema_scan(state.smooth, p.smoothing, vis,
-                                       assoc_smooth)                      # 7
-    out = jnp.clip(smoothed * (2.0 * p.brightness), 0.0, 1.0)             # 8
+                                       assoc_smooth)               # 7
+    out = _brightness_clip(smoothed, p)                            # 8
     return out, PostState(smooth=smooth_final, agc_ref=ref_final)
 
 
@@ -239,15 +260,9 @@ def postprocess_batch_timeshard(
     final state is the LAST device's carry-out; the renderer selects it
     with a masked ``psum``."""
     L = power_local.shape[0]
-    boosted = power_local * p.low_end_ramp * p.gain                # 1-2
-    v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # 3
-
-    peak_db = jnp.max(v_db, axis=-1)                               # (L, ...)
-    if global_agc:
-        lead_axes = tuple(range(1, peak_db.ndim))
-        if lead_axes:
-            peak_db = jnp.broadcast_to(
-                jnp.max(peak_db, axis=lead_axes, keepdims=True), peak_db.shape)
+    # peak_db is (L, ...): same lead-axis coupling as postprocess_batch
+    v_db, peak_db = _boost_db_peak(
+        power_local, p, global_agc, tuple(range(1, power_local.ndim - 1)))
 
     zero_ref = jnp.zeros_like(state0.agc_ref)
     refs0, ref_fin0 = _ema_scan(zero_ref, AGC_DECAY, peak_db, True)
@@ -257,12 +272,7 @@ def postprocess_batch_timeshard(
     tpow = jnp.float32(AGC_DECAY) ** jnp.arange(1, L + 1, dtype=jnp.float32)
     tpow = tpow.reshape((L,) + (1,) * (refs0.ndim - 1))
     refs = tpow * ref_in + refs0
-    offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - refs)
-    v_db = v_db + offset[..., None]                                # 4
-
-    v_db = jnp.where(v_db < p.noise_gate_db, DB_FLOOR, v_db)       # 5
-    vis = jnp.clip((v_db - (AGC_TARGET_DB - p.db_range)) / p.db_range,
-                   0.0, 1.0)                                       # 6
+    vis = _agc_gate_norm(v_db, refs, p)                            # 4-6
 
     zero_smooth = jnp.zeros_like(state0.smooth)
     smooth0, smooth_fin0 = _ema_scan(zero_smooth, p.smoothing, vis, True)
@@ -273,7 +283,7 @@ def postprocess_batch_timeshard(
                      jnp.arange(1, L + 1, dtype=jnp.float32))
     spow = spow.reshape((L,) + (1,) * (smooth0.ndim - 1))
     smoothed = spow * s_in + smooth0                               # 7
-    out = jnp.clip(smoothed * (2.0 * p.brightness), 0.0, 1.0)      # 8
+    out = _brightness_clip(smoothed, p)                            # 8
     # carry-out: the state at the last VALID local column (a chunk that
     # extends past the signal's t_count carries padded zero columns
     # whose state evolution must not leak into the global final state)
@@ -313,19 +323,13 @@ def postprocess_column(
     cross-chip collective (GSPMD inserts the all-reduce over ICI;
     SURVEY.md §5.8).
     """
-    boosted = power * p.low_end_ramp * p.gain                      # stages 1-2
-    v_db = 10.0 * jnp.log10(boosted + DB_EPS)                      # stage 3
-
-    peak_db = jnp.max(v_db, axis=-1)                               # (...,)
-    if global_agc:
-        peak_db = jnp.max(peak_db) * jnp.ones_like(peak_db)
+    # no time axis here: every peak_db axis is a channel axis the
+    # global option couples (broadcast_to(max) ≡ the old max·ones —
+    # multiply by 1.0 is exact in f32, the bit-exact pins hold)
+    v_db, peak_db = _boost_db_peak(
+        power, p, global_agc, tuple(range(power.ndim - 1)))        # 1-3
     new_ref = AGC_DECAY * state.agc_ref + (1.0 - AGC_DECAY) * peak_db
-    agc_offset = p.agc_enabled * p.agc_strength * (AGC_TARGET_DB - new_ref)
-    v_db = v_db + agc_offset[..., None]                            # stage 4
-
-    v_db = jnp.where(v_db < p.noise_gate_db, DB_FLOOR, v_db)       # stage 5
-    vis = jnp.clip((v_db - (AGC_TARGET_DB - p.db_range)) / p.db_range, 0.0, 1.0)
-
-    smoothed = p.smoothing * state.smooth + (1.0 - p.smoothing) * vis  # stage 7
-    out = jnp.clip(smoothed * (2.0 * p.brightness), 0.0, 1.0)          # stage 8
+    vis = _agc_gate_norm(v_db, new_ref, p)                         # 4-6
+    smoothed = p.smoothing * state.smooth + (1.0 - p.smoothing) * vis  # 7
+    out = _brightness_clip(smoothed, p)                            # 8
     return out, PostState(smooth=smoothed, agc_ref=new_ref)

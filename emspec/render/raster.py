@@ -80,6 +80,12 @@ def render_vis(x, s: Settings) -> np.ndarray:
     """(samples,) audio → (bins, frames) float32 pre-LUT display values
     in [0, 1], bins ascending in frequency — the same quantity the PNG
     shows before the colormap, through the identical compiled graph
-    (``emspec export``'s linear-axis payload)."""
+    (``emspec export``'s linear-axis payload).
+
+    Deliberately shares ``_render_graph`` (paying one discarded LUT pass
+    per offline export) instead of compiling a vis-only program: a
+    separately-fused XLA graph could differ from the render's vis at
+    f32 ulp level, breaking the pixel-exact apply_lut(vis) == PNG
+    contract tests pin."""
     vis, _ = _render_graph(s)(jnp.asarray(x, jnp.float32))
     return np.asarray(vis).T                # (bins, frames)

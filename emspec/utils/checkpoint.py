@@ -140,6 +140,10 @@ def save_sharded_stream(path: str | Path, stream) -> None:
     state = stream.state_pytree()
     payload = _carry_payload(state["carry"])
     payload["t"] = np.int64(state["t"])
+    # a migrated-but-not-yet-reprimed stream must not launder its zeroed
+    # window into a "clean" snapshot: the guard travels with the file
+    payload["needs_window_prime"] = np.bool_(
+        getattr(stream, "needs_window_prime", False))
     path = _npz_path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(path, **payload)
@@ -160,7 +164,11 @@ def load_sharded_stream(path: str | Path, stream) -> bool:
         # ShardedStream's carry is the rolling-window pytree too
         carry, migrated = _roll_carry_from(
             z, stream.pipe, (stream.settings.channels,))
+        # a snapshot of a migrated-but-unprimed stream carries the guard
+        if "needs_window_prime" in z.files:
+            migrated = migrated or bool(z["needs_window_prime"])
         stream.load_state({"carry": carry, "t": int(z["t"])})
-    if migrated:
-        stream.needs_window_prime = True
+    # unconditional assignment: a later healthy load on the same stream
+    # object must CLEAR a stale guard, not only ever set it
+    stream.needs_window_prime = migrated
     return migrated

@@ -122,10 +122,23 @@ def test_stream_cli_all_channels(tmp_path, capsys):
     assert out.exists()
 
 
+def _assert_pngs_within_one_quantum(a, b):
+    """The timeshard path reassociates both f32 EMAs (affine re-basing),
+    so its documented contract vs the single program is ≤1 RGBA quantum
+    (test_time_parallel_render_matches_single_device), not bitwise —
+    a vis value landing on a 1/255 LUT rounding boundary may flip."""
+    from emspec.render.png import read_png
+    ia, ib = read_png(a), read_png(b)
+    assert ia.shape == ib.shape
+    dq = np.abs(ia.astype(np.int16) - ib.astype(np.int16))
+    assert dq.max() <= 1
+
+
 def test_render_cli_time_parallel(tmp_path, capsys):
     """--time-parallel routes the multires render through the
-    time-sharded program (pixel-identical on however many devices are
-    visible) and cleanly rejects the linear-axis raster path."""
+    time-sharded program (≤1 RGBA quantum vs the single program on
+    however many devices are visible) and cleanly rejects the
+    linear-axis raster path."""
     wav = tmp_path / "t.wav"
     write_wav(wav, synth.chirp(200.0, 6000.0, 0.4), 48_000)
     out_a = tmp_path / "a.png"
@@ -134,8 +147,7 @@ def test_render_cli_time_parallel(tmp_path, capsys):
     assert main(["render", str(wav), str(out_b), "--multires",
                  "--time-parallel"]) == 0
     capsys.readouterr()
-    # deterministic encoder: pixel-identical renders are byte-identical
-    assert out_a.read_bytes() == out_b.read_bytes()
+    _assert_pngs_within_one_quantum(out_a, out_b)
     rc = main(["render", str(wav), str(tmp_path / "c.png"),
                "--time-parallel"])
     assert rc == 2
@@ -145,7 +157,8 @@ def test_render_cli_time_parallel(tmp_path, capsys):
 def test_render_cli_time_parallel_all_channels(tmp_path, capsys):
     """--time-parallel composes with --channel all: channels ride
     unsharded while the TIME axis shards over devices, and the tiled
-    output is pixel-identical to the single-program tiled render."""
+    output matches the single-program tiled render to ≤1 RGBA
+    quantum."""
     wav = tmp_path / "tp2.wav"
     x = np.stack([np.asarray(synth.tone(440.0, 0.4)),
                   np.asarray(synth.chirp(200.0, 6000.0, 0.4))])
@@ -158,7 +171,7 @@ def test_render_cli_time_parallel_all_channels(tmp_path, capsys):
                  "--multires", "--time-parallel"]) == 0
     msg = capsys.readouterr().out
     assert "2 channels tiled" in msg
-    assert out_a.read_bytes() == out_b.read_bytes()
+    _assert_pngs_within_one_quantum(out_a, out_b)
 
 
 def test_export_cli_linear_matches_render(tmp_path, capsys):
@@ -203,12 +216,26 @@ def test_export_cli_multires_and_channels(tmp_path, capsys):
     assert z["vis"].ndim == 2 and np.all(np.diff(z["freq_hz"]) > 0)
     from emspec.config import Settings
     sc = Settings.from_dict(json.loads(str(z["settings_json"])))
-    pipe = get_pipeline(sc.replace(multires=True))
+    assert sc.multires           # settings_json describes the used pipeline
+    pipe = get_pipeline(sc)
     np.testing.assert_allclose(z["freq_hz"], pipe._axis(sc.freq_scale))
 
+    # --channel all follows the same multires setting as render
+    # --channel all (single-bank display path by default), and the
+    # per-channel vis planes reproduce render's tiles through the LUT
+    from emspec.post.colormap import apply_lut, lut
+    from emspec.render.png import read_png
     assert main(["export", str(wav), str(npz), "--channel", "all"]) == 0
     z = np.load(npz, allow_pickle=False)
     assert z["vis"].shape[0] == 2 and z["vis"].ndim == 3
+    assert not json.loads(str(z["settings_json"]))["multires"]
+    png = wav.with_suffix(".png")
+    assert main(["render", str(wav), str(png), "--channel", "all"]) == 0
+    table = np.asarray(lut("inferno"))
+    tiles = [np.asarray(apply_lut(v.T, table)).transpose(1, 0, 2)[::-1]
+             for v in z["vis"]]
+    from emspec.render.png import tile_images
+    np.testing.assert_array_equal(tile_images(tiles), read_png(png))
 
     # too-short input is a one-line usage error, not a traceback
     short = tmp_path / "s.wav"

@@ -273,6 +273,15 @@ def test_sharded_checkpoint_migration_guards_step(tmp_path):
     assert load_sharded_stream(ck, b) is True       # migrated
     with pytest.raises(RuntimeError, match="reset_window"):
         b.step(blk(b, mid))
+
+    # the guard travels with a snapshot: saving the migrated-but-unprimed
+    # stream must not launder its zeroed window into a "clean" file
+    ck2 = tmp_path / "ck2"
+    save_sharded_stream(ck2, b)
+    c = ShardedStream(s, channel_mesh())
+    assert load_sharded_stream(ck2, c) is True
+    with pytest.raises(RuntimeError, match="reset_window"):
+        c.step(blk(c, mid))
     # re-prime with the window at the resume point: hop `mid` analyzes
     # x[:, mid*hop : mid*hop + n_max], whose completing block is
     # blk(mid) — exactly the reset_window feed-protocol contract
@@ -287,6 +296,14 @@ def test_sharded_checkpoint_migration_guards_step(tmp_path):
         assert oa[0] == ob[0]
         np.testing.assert_allclose(np.asarray(oa[1]), np.asarray(ob[1]),
                                    atol=1e-6)
+
+    # a later HEALTHY load on the same (stale-guarded) stream object
+    # must clear the guard, not leave the stream permanently refusing
+    ck3 = tmp_path / "ck3"
+    save_sharded_stream(ck3, a)
+    assert load_sharded_stream(ck3, c) is False
+    assert c.needs_window_prime is False
+    c.step(np.zeros((s.channels, a.pipe.hop), np.float32))  # no raise
 
 
 @needs_mesh
