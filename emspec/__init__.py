@@ -52,6 +52,15 @@ def __getattr__(name):
     if name == "TimeParallelRenderer":
         from emspec.parallel import TimeParallelRenderer
         return TimeParallelRenderer
+    if name == "animate_frames":
+        from emspec.render.animate import animate_frames
+        return animate_frames
+    if name == "write_apng":
+        from emspec.render.apng import write_apng
+        return write_apng
+    if name == "read_apng":
+        from emspec.render.apng import read_apng
+        return read_apng
     raise AttributeError(f"module 'emspec' has no attribute {name!r}")
 
 

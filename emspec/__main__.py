@@ -249,6 +249,32 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_animate(args) -> int:
+    """Render the SCROLLING display itself to an animated PNG: frame k =
+    the live waterfall after k/fps seconds of audio, through the real
+    streaming path (emspec/render/animate.py).  The last frame is
+    bit-identical to ``emspec stream``'s snapshot of the same audio."""
+    from emspec.render.animate import animate_frames, frame_count
+    from emspec.render.apng import write_apng
+
+    audio, rate = _read_wav_cli(args.input)
+    if not args.fps > 0:
+        raise UsageError(f"--fps must be positive, got {args.fps}")
+    tiled = args.channel == "all" and audio.shape[0] > 1
+    nch = audio.shape[0] if tiled else 1
+    s = _settings_from(args, rate, channels=nch, multires_default=True)
+    x = (audio if tiled else
+         audio[0 if args.channel == "all"
+               else _pick_channel(audio, args.channel)])
+    n_frames = frame_count(x.shape[-1], rate, args.fps)
+    write_apng(args.output,
+               animate_frames(x, s, fps=args.fps, width=args.width),
+               fps=args.fps)
+    print(f"{args.output}: {n_frames} frames @ {args.fps:g} fps x{nch}ch, "
+          f"waterfall {args.width}x{s.raster_height}")
+    return 0
+
+
 def cmd_live(args) -> int:
     if args.capture:
         from emspec.render.terminal import live_capture_view
@@ -453,6 +479,21 @@ def main(argv=None) -> int:
     ps.add_argument("--width", type=int, default=1024, help="waterfall columns")
     _add_settings_args(ps)
     ps.set_defaults(fn=cmd_stream)
+
+    pa = sub.add_parser(
+        "animate",
+        help="render the scrolling waterfall itself to an animated PNG "
+             "(APNG; frame k = the live display at k/fps seconds)")
+    pa.add_argument("input")
+    pa.add_argument("output")
+    pa.add_argument("--channel", default="0",
+                    help="channel index, or 'all' for a tiled per-channel "
+                         "animation")
+    pa.add_argument("--fps", type=float, default=30.0,
+                    help="display frame rate (frames per second of audio)")
+    pa.add_argument("--width", type=int, default=1024, help="waterfall columns")
+    _add_settings_args(pa)
+    pa.set_defaults(fn=cmd_animate)
 
     pl = sub.add_parser("live", help="live terminal waterfall (ANSI truecolor)")
     pl.add_argument("input", nargs="?", default=None,

@@ -39,6 +39,12 @@ def tile_images(images: list[np.ndarray], pad: int = 2,
     return out
 
 
+def png_chunk(tag: bytes, data: bytes) -> bytes:
+    """One length-prefixed, CRC-suffixed PNG chunk (shared with apng.py)."""
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
 def write_png(path: str | Path, rgba: np.ndarray) -> None:
     """Write (H, W, 4) uint8 RGBA (or (H, W, 3) RGB) as a PNG file."""
     img = np.asarray(rgba)
@@ -46,10 +52,7 @@ def write_png(path: str | Path, rgba: np.ndarray) -> None:
         raise ValueError(f"expected (H,W,3|4) uint8, got {img.shape} {img.dtype}")
     h, w, c = img.shape
     color_type = 6 if c == 4 else 2
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+    chunk = png_chunk
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
     # filter byte 0 (None) prepended to each scanline

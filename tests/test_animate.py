@@ -1,0 +1,134 @@
+"""Animated offline render: the scrolling display as an APNG.
+
+The reference's product is the waterfall's *motion* (README.md:35-39);
+``emspec animate`` reproduces it deterministically through the real
+streaming path.  Contracts pinned here: APNG round-trip + structural
+validity, frame k = the display after k/fps seconds of audio, and the
+final frame bit-identical to ``emspec stream``'s snapshot PNG (both
+commands drive the identical Stream → Waterfall protocol, so this pin
+is cross-command, not self-referential)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from emspec.__main__ import main
+from emspec.io import synth
+from emspec.io.wav import write_wav
+from emspec.render.apng import read_apng, write_apng
+
+
+def test_apng_roundtrip(tmp_path):
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (3, 6, 9, 4), dtype=np.uint8)
+    p = tmp_path / "a.png"
+    write_apng(p, frames, fps=24)
+    back, fps = read_apng(p)
+    assert fps == 24
+    np.testing.assert_array_equal(back, frames)
+    # RGB (3-channel) frames round-trip too
+    write_apng(p, frames[..., :3], fps=12.5)
+    back, fps = read_apng(p)
+    assert abs(fps - 12.5) < 0.1
+    np.testing.assert_array_equal(back, frames[..., :3])
+
+
+def test_apng_roundtrip_accepts_generator(tmp_path):
+    """Frames stream through the writer one at a time (the animate CLI
+    never materializes the raw frame stack)."""
+    frames = [np.full((4, 5, 4), v, np.uint8) for v in (0, 128, 255)]
+    p = tmp_path / "g.png"
+    write_apng(p, iter(frames), fps=30)
+    back, _ = read_apng(p)
+    np.testing.assert_array_equal(back, np.stack(frames))
+
+
+def test_apng_writer_rejects_bad_input(tmp_path):
+    p = tmp_path / "bad.png"
+    with pytest.raises(ValueError, match="at least one frame"):
+        write_apng(p, [], fps=30)
+    with pytest.raises(ValueError, match="fps must be positive"):
+        write_apng(p, np.zeros((1, 2, 2, 4), np.uint8), fps=0)
+    mixed = [np.zeros((2, 2, 4), np.uint8), np.zeros((2, 3, 4), np.uint8)]
+    with pytest.raises(ValueError, match="shape"):
+        write_apng(p, mixed, fps=30)
+    with pytest.raises(ValueError, match="uint8"):
+        write_apng(p, np.zeros((1, 2, 2, 4), np.float32), fps=30)
+
+
+def test_apng_reader_rejects_corruption(tmp_path):
+    p = tmp_path / "c.png"
+    write_apng(p, np.zeros((2, 4, 4, 4), np.uint8), fps=30)
+    data = bytearray(p.read_bytes())
+    data[40] ^= 0xFF                       # flip a byte inside a chunk body
+    p.write_bytes(bytes(data))
+    with pytest.raises(ValueError, match="CRC"):
+        read_apng(p)
+    p.write_bytes(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="missing"):
+        read_apng(p)
+
+
+def test_animate_cli_frames_and_stream_parity(tmp_path, capsys):
+    """The headline contract: frame count = ceil(duration·fps); frames
+    actually progress (later frames repaint columns); the LAST frame ==
+    the ``emspec stream`` snapshot PNG of the same audio, bitwise —
+    chunking differs (fps ticks vs --chunk 1024) so this leans on the
+    streaming chunk-invariance the stream suite pins."""
+    from emspec.render.png import read_png
+
+    wav = tmp_path / "t.wav"
+    dur = 0.3
+    write_wav(wav, synth.chirp(300.0, 8000.0, dur), 48_000)
+    out = tmp_path / "anim.png"
+    flags = ["--no-multires", "--fft-size", "1024", "--width", "64"]
+    rc = main(["animate", str(wav), str(out), "--fps", "20"] + flags)
+    assert rc == 0
+    assert "frames @ 20 fps" in capsys.readouterr().out
+    frames, fps = read_apng(out)
+    assert fps == 20
+    n_samples = int(round(dur * 48_000))
+    assert frames.shape[0] == math.ceil(n_samples * 20 / 48_000)
+    assert frames.shape[3] == 4
+    # motion: the display at t=1/fps differs from the final state
+    assert not np.array_equal(frames[0], frames[-1])
+
+    ref = tmp_path / "wf.png"
+    rc = main(["stream", str(wav), str(ref)] + flags)
+    assert rc == 0
+    np.testing.assert_array_equal(frames[-1], read_png(ref))
+
+
+def test_animate_cli_all_channels_tiled(tmp_path, capsys):
+    wav = tmp_path / "st.wav"
+    x = np.stack([np.asarray(synth.tone(300.0, 0.2)),
+                  np.asarray(synth.tone(1200.0, 0.2))])
+    write_wav(wav, x, 48_000)
+    out = tmp_path / "anim2.png"
+    rc = main(["animate", str(wav), str(out), "--channel", "all",
+               "--fps", "10", "--no-multires", "--fft-size", "1024",
+               "--width", "32"])
+    assert rc == 0
+    assert "x2ch" in capsys.readouterr().out
+    frames, _ = read_apng(out)
+    # two waterfalls tiled side by side with the 2 px separator
+    assert frames.shape[2] == 32 * 2 + 2
+
+
+def test_animate_cli_usage_errors(tmp_path, capsys):
+    wav = tmp_path / "t.wav"
+    write_wav(wav, synth.tone(440.0, 0.1), 48_000)
+    rc = main(["animate", str(wav), str(tmp_path / "o.png"),
+               "--fps", "-5", "--no-multires", "--fft-size", "1024"])
+    assert rc == 2
+    assert "fps must be positive" in capsys.readouterr().err
+
+
+def test_animate_api_rejects_channel_mismatch():
+    from emspec.config import Settings
+    from emspec.render.animate import animate_frames
+
+    s = Settings(fft_size=1024, multires=False, channels=1)
+    with pytest.raises(ValueError, match="channels"):
+        next(animate_frames(np.zeros((2, 4096), np.float32), s, fps=10))
