@@ -50,11 +50,13 @@ def _scanlines(img: np.ndarray) -> bytes:
     return b"".join(b"\x00" + img[r].tobytes() for r in range(h))
 
 
-def write_apng(path: str | Path, frames, fps: float = 30.0,
-               loops: int = 0) -> None:
-    """Write frames — (n, H, W, 4|3) uint8 array or a list/iterable of
-    (H, W, 4|3) uint8 images, all the same shape — as an APNG playing at
-    ``fps`` (``loops=0`` = loop forever, the live-display analog)."""
+def apng_bytes(frames, fps: float = 30.0, loops: int = 0) -> bytes:
+    """Serialize frames — (n, H, W, 4|3) uint8 array or a list/iterable
+    of (H, W, 4|3) uint8 images, all the same shape — as APNG bytes
+    playing at ``fps`` (``loops=0`` = loop forever, the live-display
+    analog).  Frames are compressed one at a time as the iterable
+    yields them (the shell's /api/record streams live snapshots through
+    here without ever holding the raw stack)."""
     num, den = _delay_fraction(fps)
     it = iter(np.asarray(frames)) if isinstance(frames, np.ndarray) else iter(frames)
     shape = None
@@ -87,12 +89,17 @@ def write_apng(path: str | Path, frames, fps: float = 30.0,
         raise ValueError("write_apng needs at least one frame")
     h, w, c = shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if c == 4 else 2, 0, 0, 0)
-    payload = (_SIG
-               + png_chunk(b"IHDR", ihdr)
-               + png_chunk(b"acTL", struct.pack(">II", n_frames, loops))
-               + body
-               + png_chunk(b"IEND", b""))
-    Path(path).write_bytes(payload)
+    return (_SIG
+            + png_chunk(b"IHDR", ihdr)
+            + png_chunk(b"acTL", struct.pack(">II", n_frames, loops))
+            + body
+            + png_chunk(b"IEND", b""))
+
+
+def write_apng(path: str | Path, frames, fps: float = 30.0,
+               loops: int = 0) -> None:
+    """:func:`apng_bytes` to a file."""
+    Path(path).write_bytes(apng_bytes(frames, fps, loops))
 
 
 def read_apng(path: str | Path) -> tuple[np.ndarray, float]:

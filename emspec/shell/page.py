@@ -72,6 +72,9 @@ PAGE = r"""<!DOCTYPE html>
     <button id="on_top" onclick="toggle('on_top')">On Top</button>
     <button id="auto_gain" onclick="toggle('auto_gain')">Auto Gain</button>
   </div>
+  <div class="row">
+    <button id="record" onclick="record()">Record 5s</button>
+  </div>
 
   <label id="chan_label" style="display:none">Channel</label>
   <select id="display_channel" style="display:none"
@@ -190,6 +193,24 @@ async function loadAxis() {
   }
 }
 function toggle(f){ setS({[f]: !S[f]}); }
+
+async function record() {
+  // capture the next 5 s of the live display server-side as an APNG
+  // (the screen-recording analog of the reference window) and save it
+  const b = el("record");
+  b.disabled = true; b.textContent = "Recording…";
+  try {
+    const r = await fetch("/api/record?seconds=5&fps=15");
+    const blob = await r.blob();
+    const a = document.createElement("a");
+    a.href = URL.createObjectURL(blob);
+    a.download = "emspec_recording.png";     // APNG inside a .png
+    a.click();
+    URL.revokeObjectURL(a.href);
+  } finally {
+    b.disabled = false; b.textContent = "Record 5s";
+  }
+}
 
 async function presetOp(op) {
   const sel = el("preset");

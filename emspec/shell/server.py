@@ -204,6 +204,40 @@ class ShellServer:
                                 ConnectionAbortedError):
                             break
                         time.sleep(1.0 / 30.0)
+                elif url.path == "/api/record":
+                    # live capture of the scrolling display to an APNG —
+                    # the analog of screen-recording the reference window
+                    # (README.md:35-39).  Frames are snapshotted at fps
+                    # on this handler thread and compressed one at a
+                    # time (emspec/render/apng.py apng_bytes), so a
+                    # 30 s recording never holds the raw frame stack.
+                    from emspec.render.apng import apng_bytes
+                    try:
+                        seconds = float(q.get("seconds", ["2"])[0])
+                        fps = float(q.get("fps", ["15"])[0])
+                    except ValueError:
+                        self._json({"error": "seconds/fps must be numbers"},
+                                   400)
+                        return
+                    if not (0 < seconds <= 60) or not (0 < fps <= 60):
+                        self._json({"error": "need 0 < seconds <= 60 and "
+                                             "0 < fps <= 60"}, 400)
+                        return
+                    n = max(1, round(seconds * fps))
+                    t0 = time.monotonic()
+
+                    def snapshots():
+                        for k in range(1, n + 1):
+                            dt = t0 + k / fps - time.monotonic()
+                            if dt > 0:
+                                time.sleep(dt)
+                            if shell._stop.is_set() and k > 1:
+                                return       # truncated but valid APNG
+                            with shell.lock:
+                                yield app.image()
+
+                    self._send(apng_bytes(snapshots(), fps=fps),
+                               "image/apng")
                 elif url.path == "/api/hover":
                     try:
                         frac = float(q.get("frac", ["0"])[0])

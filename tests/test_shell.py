@@ -272,3 +272,29 @@ def test_on_top_surfaced_as_native_only(shell):
     page = _get(shell, "/").decode()
     assert "on_top_supported" in page
     assert "disabled" in page and "--native" in page
+
+
+def test_record_endpoint_returns_live_apng(shell, tmp_path):
+    """/api/record captures the scrolling display to a valid APNG — the
+    screen-recording analog of the reference window.  Frames are live
+    snapshots: with the synthetic source feeding, a 0.6 s recording at
+    5 fps returns 3 canvas-sized frames and the display moved."""
+    from emspec.render.apng import read_apng
+
+    raw = _get(shell, "/api/record?seconds=0.6&fps=5")
+    p = tmp_path / "rec.png"
+    p.write_bytes(raw)
+    frames, fps = read_apng(p)
+    assert fps == 5
+    assert frames.shape == (3, 128, 256, 4)
+    # the live display scrolled during the capture window
+    assert not np.array_equal(frames[0], frames[-1])
+
+
+def test_record_endpoint_rejects_bad_params(shell):
+    import urllib.error
+
+    for bad in ("seconds=0", "fps=1000", "seconds=oops"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(shell, f"/api/record?{bad}")
+        assert ei.value.code == 400
