@@ -51,7 +51,8 @@ def animate_frames(audio: np.ndarray, settings: Settings, fps: float = 30.0,
         raise ValueError(f"fps must be positive, got {fps}")
     s = settings
     nch = s.channels
-    if (audio.ndim == 2) != (nch > 1):
+    if (audio.ndim == 2) != (nch > 1) or (audio.ndim == 2
+                                          and audio.shape[0] != nch):
         raise ValueError(
             f"audio shape {audio.shape} does not match settings.channels="
             f"{nch} — pass (channels, n) iff channels > 1")

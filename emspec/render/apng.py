@@ -135,6 +135,8 @@ def read_apng(path: str | Path) -> tuple[np.ndarray, float]:
         elif tag == b"fcTL":
             seq, fw, fh, x0, y0, num, den, dispose, blend = struct.unpack(
                 ">IIIIIHHBB", body)
+            if w is None:
+                raise ValueError(f"{path}: fcTL before IHDR")
             if (fw, fh, x0, y0) != (w, h, 0, 0):
                 raise ValueError(f"{path}: sub-canvas frame (not write_apng output)")
             seqs.append(seq)
@@ -145,6 +147,8 @@ def read_apng(path: str | Path) -> tuple[np.ndarray, float]:
                 raise ValueError(f"{path}: IDAT before first fcTL")
             frame_data[-1] += body
         elif tag == b"fdAT":
+            if not frame_data:
+                raise ValueError(f"{path}: fdAT before first fcTL")
             (seq,) = struct.unpack(">I", body[:4])
             seqs.append(seq)
             frame_data[-1] += body[4:]

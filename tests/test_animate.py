@@ -132,3 +132,34 @@ def test_animate_api_rejects_channel_mismatch():
     s = Settings(fft_size=1024, multires=False, channels=1)
     with pytest.raises(ValueError, match="channels"):
         next(animate_frames(np.zeros((2, 4096), np.float32), s, fps=10))
+
+
+def test_apng_reader_rejects_orphan_frame_chunks(tmp_path):
+    """Malformed chunk ORDER is a clean ValueError, not an IndexError:
+    fdAT/fcTL arriving before their prerequisites."""
+    import struct
+    import zlib
+
+    from emspec.render.png import png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+    actl = png_chunk(b"acTL", struct.pack(">II", 1, 0))
+    fdat = png_chunk(b"fdAT", struct.pack(">I", 1) + zlib.compress(b"\x00" * 18))
+    p = tmp_path / "orphan.png"
+    p.write_bytes(sig + ihdr + actl + fdat + png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="fdAT before"):
+        read_apng(p)
+    fctl = png_chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 2, 2, 0, 0, 1, 30, 0, 0))
+    p.write_bytes(sig + fctl)
+    with pytest.raises(ValueError, match="fcTL before IHDR"):
+        read_apng(p)
+
+
+def test_animate_api_rejects_wrong_channel_count():
+    from emspec.config import Settings
+    from emspec.render.animate import animate_frames
+
+    s = Settings(fft_size=1024, multires=False, channels=3)
+    with pytest.raises(ValueError, match="channels"):
+        next(animate_frames(np.zeros((2, 4096), np.float32), s, fps=10))
