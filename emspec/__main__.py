@@ -249,6 +249,91 @@ def cmd_stream(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment self-check: one line per subsystem, ``ok``/``WARN``/
+    ``FAIL``.  The production troubleshooting entry point — everything
+    the maintenance contracts reference (the Mosaic/jax version pin, the
+    native ring, capture backends, the native-window shell, the update
+    manifest) reported in one place; ``--kernels`` additionally runs the
+    Pallas kernel validation suite (the documented jax-upgrade smoke
+    test, emspec/dsp/pallas/__init__.py)."""
+    import platform
+
+    fails = 0
+
+    def row(status, name, detail=""):
+        nonlocal fails
+        fails += status == "FAIL"
+        print(f"{status:<5} {name:<16} {detail}")
+
+    from emspec import __version__
+    row("ok", "emspec", f"{__version__} (python {platform.python_version()}, "
+                        f"{platform.system().lower()})")
+
+    import jax
+    try:
+        devs = jax.devices()
+        row("ok", "jax backend", f"{jax.default_backend()} x{len(devs)} "
+                                 f"({devs[0].device_kind})")
+    except Exception as e:                       # no usable backend at all
+        row("FAIL", "jax backend", str(e))
+    from emspec.dsp.pallas import TESTED_JAX_VERSION
+    if jax.__version__ == TESTED_JAX_VERSION:
+        row("ok", "jax version", f"{jax.__version__} == Mosaic kernel pin")
+    else:
+        row("WARN", "jax version",
+            f"{jax.__version__} != kernel pin {TESTED_JAX_VERSION} — run "
+            f"emspec doctor --kernels on the TPU, then bump the pin")
+
+    try:
+        from emspec.native import lib as native
+        ok = native.available()
+    except Exception:
+        ok = False
+    row("ok" if ok else "WARN", "native ring",
+        "C++ seqlock SPSC ring loaded" if ok else
+        "numpy fallback (build: make -C emspec/native)")
+
+    try:
+        import sounddevice as sd
+        n_in = sum(1 for d in sd.query_devices()
+                   if d.get("max_input_channels", 0) > 0)
+        row("ok", "audio capture", f"sounddevice: {n_in} input device(s)")
+    except Exception:
+        row("WARN", "audio capture",
+            "sounddevice not installed — synthetic/WAV sources only")
+
+    try:
+        import tkinter                               # noqa: F401
+        row("ok", "native window", "tkinter available (emspec gui --native)")
+    except Exception:
+        row("WARN", "native window", "no tkinter — web shell only")
+
+    from emspec.utils.update import UPDATE_MANIFEST_ENV, check_for_update
+    import os
+    if os.environ.get(UPDATE_MANIFEST_ENV):
+        note = check_for_update()
+        row("ok", "update check",
+            f"newer version available: {note['latest']}" if note
+            else "up to date")
+    else:
+        row("ok", "update check", "no manifest configured (offline)")
+
+    if args.kernels:
+        from emspec.dsp.pallas.validate import validate_kernels
+        on_tpu = jax.default_backend() == "tpu"
+        try:
+            report = validate_kernels(quick=not args.full)
+            row("ok", "pallas kernels",
+                f"validated on {'TPU (Mosaic)' if on_tpu else 'interpreter'}"
+                f" (jax {report['jax_version']})")
+        except Exception as e:
+            row("FAIL", "pallas kernels", f"{type(e).__name__}: {e}")
+
+    print(f"doctor: {'all checks passed' if fails == 0 else f'{fails} FAILURE(S)'}")
+    return 1 if fails else 0
+
+
 def cmd_animate(args) -> int:
     """Render the SCROLLING display itself to an animated PNG: frame k =
     the live waterfall after k/fps seconds of audio, through the real
@@ -479,6 +564,20 @@ def main(argv=None) -> int:
     ps.add_argument("--width", type=int, default=1024, help="waterfall columns")
     _add_settings_args(ps)
     ps.set_defaults(fn=cmd_stream)
+
+    pd = sub.add_parser(
+        "doctor",
+        help="environment self-check (backend, jax/Mosaic pin, native "
+             "ring, capture, window shell; --kernels validates the "
+             "Pallas kernels)")
+    pd.add_argument("--kernels", action="store_true",
+                    help="run the Pallas kernel validation suite (the "
+                         "jax-upgrade smoke test; a real Mosaic "
+                         "compile+execute on TPU)")
+    pd.add_argument("--full", action="store_true",
+                    help="with --kernels: production shapes, not the "
+                         "quick ones")
+    pd.set_defaults(fn=cmd_doctor)
 
     pa = sub.add_parser(
         "animate",

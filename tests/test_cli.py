@@ -293,3 +293,14 @@ def test_internal_valueerror_is_not_swallowed(monkeypatch, tmp_path):
     # rebuild dispatch: set_defaults reads the module global at parse time
     with pytest.raises(ValueError, match="internal bug"):
         m.main(["render", "a.wav", "b.png"])
+
+
+def test_doctor_cli(capsys):
+    """`emspec doctor` is the troubleshooting entry point: one
+    ok/WARN/FAIL line per subsystem, rc 0 when nothing is broken."""
+    rc = main(["doctor"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "jax backend" in out and "Mosaic kernel pin" in out
+    assert "native ring" in out and "update check" in out
+    assert "doctor: all checks passed" in out
