@@ -27,7 +27,7 @@ from pathlib import Path
 
 import numpy as np
 
-from emspec.render.png import png_chunk
+from emspec.render.png import filter0_scanlines, png_chunk
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -44,10 +44,6 @@ def _delay_fraction(fps: float) -> tuple[int, int]:
     return num, 1000
 
 
-def _scanlines(img: np.ndarray) -> bytes:
-    """Raw filter-0 scanline stream for one (H, W, C) frame."""
-    h = img.shape[0]
-    return b"".join(b"\x00" + img[r].tobytes() for r in range(h))
 
 
 def apng_bytes(frames, fps: float = 30.0, loops: int = 0) -> bytes:
@@ -78,7 +74,7 @@ def apng_bytes(frames, fps: float = 30.0, loops: int = 0) -> bytes:
         fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, num, den, 0, 0)
         seq += 1
         body += png_chunk(b"fcTL", fctl)
-        data = zlib.compress(_scanlines(img), 6)
+        data = zlib.compress(filter0_scanlines(img), 6)
         if n_frames == 0:
             body += png_chunk(b"IDAT", data)
         else:

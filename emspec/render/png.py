@@ -45,6 +45,17 @@ def png_chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
+def filter0_scanlines(img: np.ndarray) -> np.ndarray:
+    """(H, W, C) uint8 → (H, 1+W·C) uint8 filter-0 scanlines, one
+    vectorized copy (shared with apng.py — the per-row Python join cost
+    30 ms/frame at display size, 3.4× this).  C-contiguous, so zlib can
+    compress it via the buffer protocol without another copy."""
+    h, w, c = img.shape
+    out = np.zeros((h, 1 + w * c), np.uint8)
+    out[:, 1:] = np.ascontiguousarray(img).reshape(h, w * c)
+    return out
+
+
 def write_png(path: str | Path, rgba: np.ndarray) -> None:
     """Write (H, W, 4) uint8 RGBA (or (H, W, 3) RGB) as a PNG file."""
     img = np.asarray(rgba)
@@ -55,11 +66,9 @@ def write_png(path: str | Path, rgba: np.ndarray) -> None:
     chunk = png_chunk
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # filter byte 0 (None) prepended to each scanline
-    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
     payload = (b"\x89PNG\r\n\x1a\n"
                + chunk(b"IHDR", ihdr)
-               + chunk(b"IDAT", zlib.compress(raw, 6))
+               + chunk(b"IDAT", zlib.compress(filter0_scanlines(img), 6))
                + chunk(b"IEND", b""))
     Path(path).write_bytes(payload)
 
