@@ -121,6 +121,15 @@ def read_apng(path: str | Path) -> tuple[np.ndarray, float]:
         (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
         if crc != (zlib.crc32(tag + body) & 0xFFFFFFFF):
             raise ValueError(f"{path}: bad CRC on chunk {tag!r}")
+        # length-validate before unpacking: a crafted chunk with a valid
+        # CRC but the wrong body size must be a clean ValueError, not a
+        # struct.error leaking out of the decoder
+        expect = {b"IHDR": 13, b"acTL": 8, b"fcTL": 26}.get(tag)
+        if expect is not None and ln != expect:
+            raise ValueError(f"{path}: chunk {tag!r} has {ln} bytes, "
+                             f"expected {expect}")
+        if tag == b"fdAT" and ln < 4:
+            raise ValueError(f"{path}: fdAT shorter than its sequence number")
         if tag == b"IHDR":
             w, h, depth, color = struct.unpack(">IIBB", body[:10])
             if depth != 8 or color not in (2, 6):
