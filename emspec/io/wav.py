@@ -189,6 +189,9 @@ def write_wav(path: str | Path, samples: np.ndarray, sample_rate: int,
         raise ValueError(
             f"write_wav expects (channels, n) or (n,) samples, got shape "
             f"{np.shape(samples)}")
+    # non-finite samples would cast to garbage ints (with a numpy
+    # RuntimeWarning): map NaN → 0 and ±Inf → full scale deterministically
+    x = np.nan_to_num(x, nan=0.0, posinf=1.0, neginf=-1.0)
     pcm = np.clip(x.T * 32767.0, -32768, 32767).astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(x.shape[0])

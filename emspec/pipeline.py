@@ -288,14 +288,29 @@ class Pipeline:
     def _bank_power(self, frames: jnp.ndarray, n: int) -> jnp.ndarray:
         """Hann |X|^2 of one bank's frames/window — the single definition
         both the batch and streaming natural paths share (so they cannot
-        silently diverge)."""
+        silently diverge).
+
+        Non-finite scrub (the natural path's poisoning guard): one
+        NaN/Inf capture sample NaNs every bin of its frame's spectrum;
+        unscrubbed, that NaN reaches ``peak_db`` and permanently poisons
+        the AGC reference EMA (``post/chain.py`` stage 4) — every later
+        column would be NaN for process lifetime.  Zeroing non-finite
+        power here renders the affected columns black and recovers as
+        soon as the bad sample leaves the analysis window, matching the
+        enhanced path's immunity (its deposit validity mask already
+        zeroes non-finite contribs).  For finite inputs the ``where`` is
+        an exact identity, so the bit-exact streaming ≡ batch pins are
+        untouched.  Mirrored in ``tests/oracle.py`` (invariants
+        contract); the reference app runs indefinitely on live system
+        audio [OBS: README.md:36] so the state must be unpoisonable."""
         w = jnp.asarray(hann(n))
         if self.fft_impl == "fourstep":
             from emspec.dsp.fourstep import rfft_fourstep
             X = rfft_fourstep(frames * w)
         else:
             X = jnp.fft.rfft(frames * w, axis=-1)
-        return (X.real**2 + X.imag**2).astype(jnp.float32)
+        power = (X.real**2 + X.imag**2).astype(jnp.float32)
+        return jnp.where(jnp.isfinite(power), power, 0.0)
 
     def _natural_power(self, x, t_count, p: PipelineParams):
         specs = [self._bank_power(frames, n)

@@ -51,7 +51,11 @@ def stft(x: np.ndarray, n: int, hop: int, window: np.ndarray) -> np.ndarray:
 def power_spectrogram(x: np.ndarray, n: int, hop: int) -> np.ndarray:
     h, _, _ = windows(n)
     X = stft(x, n, hop, h)
-    return np.abs(X) ** 2
+    p = np.abs(X) ** 2
+    # natural-path non-finite scrub — mirrors Pipeline._bank_power: a
+    # NaN/Inf input sample must black out its columns, never poison the
+    # downstream AGC EMA (exact identity for finite inputs)
+    return np.where(np.isfinite(p), p, 0.0)
 
 
 # ------------------------------------------------------------- reassignment
@@ -191,6 +195,8 @@ def multires_natural(x, sizes, hop, rows, sample_rate, f_min, zoom,
         for t in range(t_count):
             frame = x[off + t * hop: off + t * hop + n]
             spec = np.abs(np.fft.rfft(frame * h)) ** 2
+            # non-finite scrub, mirroring Pipeline._bank_power
+            spec = np.where(np.isfinite(spec), spec, 0.0)
             out[t] += np.interp(row_freqs, bin_f, spec) * bw[b] / (n * n)
     return out
 

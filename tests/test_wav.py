@@ -82,6 +82,25 @@ def test_write_read_roundtrip_public_api(tmp_path):
     np.testing.assert_allclose(got[0], x, atol=1e-4, rtol=0)
 
 
+def test_write_wav_nonfinite_samples_deterministic(tmp_path):
+    """NaN/±Inf samples must write deterministically (NaN → 0, ±Inf →
+    full scale), not cast to garbage ints with a RuntimeWarning
+    (round-5 non-finite robustness sweep)."""
+    import warnings
+
+    x = 0.5 * np.sin(np.arange(500) / 7.0).astype(np.float32)
+    x[10], x[20], x[30] = np.nan, np.inf, -np.inf
+    p = tmp_path / "nf.wav"
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")      # any RuntimeWarning fails
+        write_wav(p, x, 48_000)
+    got, _ = read_wav(p)
+    assert np.isfinite(got).all()
+    assert got[0, 10] == 0.0
+    np.testing.assert_allclose(got[0, 20], 1.0, atol=1e-4)
+    np.testing.assert_allclose(got[0, 30], -1.0, atol=1e-4)
+
+
 def test_write_wav_rejects_samples_major_layout(tmp_path):
     """A (n, channels) array passed by mistake must raise a clear
     ValueError, not a struct overflow deep inside the wave module —
