@@ -57,7 +57,9 @@ def apng_bytes(frames, fps: float = 30.0, loops: int = 0) -> bytes:
     it = iter(np.asarray(frames)) if isinstance(frames, np.ndarray) else iter(frames)
     shape = None
     seq = 0
-    body = b""
+    # chunk list + one join: += bytes is O(n²) in total output size —
+    # measurable memcpy for long /api/record captures (ADVICE round 4)
+    body: list[bytes] = []
     n_frames = 0
     for img in it:
         img = np.asarray(img)
@@ -73,23 +75,23 @@ def apng_bytes(frames, fps: float = 30.0, loops: int = 0) -> bytes:
         h, w, _ = shape
         fctl = struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, num, den, 0, 0)
         seq += 1
-        body += png_chunk(b"fcTL", fctl)
+        body.append(png_chunk(b"fcTL", fctl))
         data = zlib.compress(filter0_scanlines(img), 6)
         if n_frames == 0:
-            body += png_chunk(b"IDAT", data)
+            body.append(png_chunk(b"IDAT", data))
         else:
-            body += png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            body.append(png_chunk(b"fdAT", struct.pack(">I", seq) + data))
             seq += 1
         n_frames += 1
     if n_frames == 0:
         raise ValueError("write_apng needs at least one frame")
     h, w, c = shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 6 if c == 4 else 2, 0, 0, 0)
-    return (_SIG
-            + png_chunk(b"IHDR", ihdr)
-            + png_chunk(b"acTL", struct.pack(">II", n_frames, loops))
-            + body
-            + png_chunk(b"IEND", b""))
+    return b"".join([_SIG,
+                     png_chunk(b"IHDR", ihdr),
+                     png_chunk(b"acTL", struct.pack(">II", n_frames, loops))]
+                    + body
+                    + [png_chunk(b"IEND", b"")])
 
 
 def write_apng(path: str | Path, frames, fps: float = 30.0,
@@ -168,7 +170,15 @@ def read_apng(path: str | Path) -> tuple[np.ndarray, float]:
     stride = 1 + w * c
     frames = []
     for i, blob in enumerate(frame_data):
-        raw = zlib.decompress(blob)
+        try:
+            # empty blob (fcTL with no IDAT/fdAT) or corrupt compressed
+            # bytes must be the documented clean ValueError, not a
+            # zlib.error escaping the decoder (ADVICE round 4)
+            raw = zlib.decompress(blob)
+        except zlib.error as e:
+            raise ValueError(
+                f"{path}: frame {i} has corrupt/missing compressed data"
+            ) from e
         if len(raw) != h * stride:
             raise ValueError(f"{path}: frame {i} has {len(raw)} bytes, "
                              f"expected {h * stride}")
@@ -177,4 +187,9 @@ def read_apng(path: str | Path) -> tuple[np.ndarray, float]:
             raise ValueError(f"{path}: non-zero PNG filter (not write_apng output)")
         frames.append(arr[:, 1:].reshape(h, w, c))
     num, den = delays[0]
+    if num == 0:
+        # spec-legal "render as fast as possible": browsers clamp a zero
+        # delay to ~10 ms — report that implied rate instead of dividing
+        # by zero (ADVICE round 4)
+        return np.stack(frames), 100.0
     return np.stack(frames), den / num

@@ -201,6 +201,15 @@ async function record() {
   b.disabled = true; b.textContent = "Recording…";
   try {
     const r = await fetch("/api/record?seconds=5&fps=15");
+    if (!r.ok) {
+      // a 400/500 body is JSON, not an APNG — surface it instead of
+      // silently downloading the error as a .png (ADVICE r4)
+      let msg = "recording failed (" + r.status + ")";
+      try { msg += ": " + (await r.json()).error; } catch (e) {}
+      b.textContent = msg;
+      await new Promise(res => setTimeout(res, 2500));
+      return;
+    }
     const blob = await r.blob();
     const a = document.createElement("a");
     a.href = URL.createObjectURL(blob);

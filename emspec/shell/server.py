@@ -227,6 +227,7 @@ class ShellServer:
                     t0 = time.monotonic()
 
                     def snapshots():
+                        first_shape = None
                         for k in range(1, n + 1):
                             dt = t0 + k / fps - time.monotonic()
                             if dt > 0:
@@ -234,7 +235,17 @@ class ShellServer:
                             if shell._stop.is_set() and k > 1:
                                 return       # truncated but valid APNG
                             with shell.lock:
-                                yield app.image()
+                                img = app.image()
+                            if first_shape is None:
+                                first_shape = img.shape
+                            elif img.shape != first_shape:
+                                # a structural settings change landed
+                                # mid-recording (channels/raster size):
+                                # stop at the last matching frame — a
+                                # truncated-but-valid APNG, same contract
+                                # as the shutdown path above (ADVICE r4)
+                                return
+                            yield img
 
                     self._send(apng_bytes(snapshots(), fps=fps),
                                "image/apng")

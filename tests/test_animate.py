@@ -156,6 +156,53 @@ def test_apng_reader_rejects_orphan_frame_chunks(tmp_path):
         read_apng(p)
 
 
+def test_apng_reader_clean_error_on_corrupt_frame_data(tmp_path):
+    """CRC-valid file whose frame data is empty (fcTL with no IDAT) or
+    corrupt compressed bytes → the documented ValueError, not a
+    zlib.error (ADVICE round 4)."""
+    import struct
+
+    from emspec.render.png import png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+    actl = png_chunk(b"acTL", struct.pack(">II", 1, 0))
+    fctl = png_chunk(b"fcTL", struct.pack(">IIIIIHHBB",
+                                          0, 2, 2, 0, 0, 1, 30, 0, 0))
+    p = tmp_path / "empty_frame.png"
+    # fcTL but no IDAT at all
+    p.write_bytes(sig + ihdr + actl + fctl + png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt/missing compressed"):
+        read_apng(p)
+    # IDAT present but its bytes are not a zlib stream
+    idat = png_chunk(b"IDAT", b"\xff\xfe\xfd\xfc")
+    p.write_bytes(sig + ihdr + actl + fctl + idat + png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt/missing compressed"):
+        read_apng(p)
+
+
+def test_apng_reader_zero_delay_num(tmp_path):
+    """Spec-legal delay_num=0 ('as fast as possible') → the browser-
+    implied 100 fps, not ZeroDivisionError (ADVICE round 4)."""
+    import struct
+    import zlib as _zlib
+
+    from emspec.render.png import png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+    actl = png_chunk(b"acTL", struct.pack(">II", 1, 0))
+    fctl = png_chunk(b"fcTL", struct.pack(">IIIIIHHBB",
+                                          0, 2, 2, 0, 0, 0, 100, 0, 0))
+    raw = b"".join(b"\x00" + b"\x01" * 8 for _ in range(2))  # 2 scanlines
+    idat = png_chunk(b"IDAT", _zlib.compress(raw))
+    p = tmp_path / "zero_delay.png"
+    p.write_bytes(sig + ihdr + actl + fctl + idat + png_chunk(b"IEND", b""))
+    frames, fps = read_apng(p)
+    assert frames.shape == (1, 2, 2, 4)
+    assert fps == 100.0
+
+
 def test_animate_api_rejects_wrong_channel_count():
     from emspec.config import Settings
     from emspec.render.animate import animate_frames

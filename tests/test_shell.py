@@ -291,6 +291,33 @@ def test_record_endpoint_returns_live_apng(shell, tmp_path):
     assert not np.array_equal(frames[0], frames[-1])
 
 
+def test_record_survives_structural_change_midway(shell, tmp_path):
+    """A structural settings change (raster size) landing mid-recording
+    must yield a truncated-but-valid APNG of the pre-change frames, not
+    a ValueError out of the handler (ADVICE round 4)."""
+    import threading
+
+    from emspec.render.apng import read_apng
+
+    out = {}
+
+    def rec():
+        out["raw"] = _get(shell, "/api/record?seconds=1.6&fps=5")
+
+    th = threading.Thread(target=rec)
+    th.start()
+    time.sleep(0.7)                  # a few frames in
+    _post(shell, "/api/settings", {"raster_height": 64})
+    th.join(timeout=15)
+    assert not th.is_alive()
+    p = tmp_path / "trunc.png"
+    p.write_bytes(out["raw"])
+    frames, fps = read_apng(p)       # valid APNG, pre-change canvas
+    assert fps == 5
+    assert frames.shape[1:] == (128, 256, 4)
+    assert 1 <= frames.shape[0] < 8
+
+
 def test_record_endpoint_rejects_bad_params(shell):
     import urllib.error
 
