@@ -180,7 +180,13 @@ def fft4_steps123(zr: jnp.ndarray, zi: jnp.ndarray,
 
 def supported(n1: int, n2: int) -> bool:
     """MXU-shaped factorizations only: small n1 starves the M dimension
-    and the XLA path already wins there (BENCH.md policy)."""
+    and the XLA path already wins there (BENCH.md policy).
+
+    n2 ≥ 128 is MEASURED, not assumed: the (128, 64) alternative at
+    8192 (step 1 at full K = 128 depth, lanes 64-wide) is 1.9× slower
+    on the deposits kernel — the half-empty lane tiles cost every
+    downstream stage more than step 1's contraction depth buys
+    (BENCH.md item 48, parity-gated A/B/A)."""
     return n1 >= 64 and n2 >= 128
 
 
