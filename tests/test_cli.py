@@ -93,6 +93,7 @@ def test_render_cli_writes_png(tmp_path, capsys):
     assert out.exists() and out.stat().st_size > 100
 
 
+@pytest.mark.slow
 def test_render_cli_all_channels_tiled(tmp_path, capsys):
     """--channel all renders every channel and tiles them into one PNG
     (VERDICT #7: multichannel output must be inspectable)."""
@@ -134,6 +135,7 @@ def _assert_pngs_within_one_quantum(a, b):
     assert dq.max() <= 1
 
 
+@pytest.mark.slow
 def test_render_cli_time_parallel(tmp_path, capsys):
     """--time-parallel routes the multires render through the
     time-sharded program (≤1 RGBA quantum vs the single program on
@@ -154,6 +156,7 @@ def test_render_cli_time_parallel(tmp_path, capsys):
     assert "--multires" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_render_cli_time_parallel_all_channels(tmp_path, capsys):
     """--time-parallel composes with --channel all: channels ride
     unsharded while the TIME axis shards over devices, and the tiled

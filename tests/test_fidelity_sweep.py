@@ -20,6 +20,8 @@ from emspec.pipeline import Pipeline
 
 import oracle
 
+pytestmark = pytest.mark.slow   # 10-size sweep + virtual-mesh dryruns
+
 SR = 48_000
 
 

@@ -55,6 +55,7 @@ def _base(**kw):
 
 
 @pytest.mark.parametrize("mode", ["natural", "enhanced"])
+@pytest.mark.slow
 def test_pipeline_fourstep_matches_xla(mode):
     x = synth.chirp(100.0, 8000.0, 0.15) + synth.tone(440.0, 0.15, amplitude=0.3)
     want, _, _ = Pipeline(_base(mode=mode, fft_impl="xla")).process(x)
@@ -67,6 +68,7 @@ def test_pipeline_fourstep_matches_xla(mode):
     np.testing.assert_allclose(g, w, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_fourstep_streaming_equals_batch_within_tolerance():
     s = _base(mode="enhanced", fft_impl="fourstep", smoothing=0.4)
     x = synth.chirp(200.0, 4000.0, 0.2, SR)
@@ -88,6 +90,7 @@ def test_fourstep_rejects_unsupported_size():
         _ = Pipeline(_base(multires_sizes=(768,),
                            fft_impl="fourstep")).fft_impl
 
+@pytest.mark.slow
 def test_fourstep_streaming_equals_batch_natural():
     """Regression: the natural-mode stream step once ignored fft_impl and
     silently diverged from the batch path under fourstep."""

@@ -87,6 +87,7 @@ def test_natural_multires_parity():
     np.testing.assert_allclose(power / scale, want / scale, atol=3e-5)
 
 
+@pytest.mark.slow
 def test_enhanced_multires_parity():
     s = _mini_settings(mode="enhanced", multires_sizes=(2048, 1024, 512), hop=256)
     x = synth.multitone([150.0, 900.0], 0.15)
@@ -127,6 +128,7 @@ def test_tone_equal_brightness_across_banks():
     assert peaks.max() / peaks.min() < 2.0   # within 3 dB across banks
 
 
+@pytest.mark.slow
 def test_enhanced_tone_row_is_sharp_and_correct():
     s = _mini_settings(mode="enhanced", raster_height=512, hop=512)
     f_true = 440.0
@@ -156,6 +158,7 @@ def test_full_process_shapes_and_dtype():
     assert 0.0 <= float(jnp.min(vis)) and float(jnp.max(vis)) <= 1.0
 
 
+@pytest.mark.slow
 def test_mixed_scatter_matches_global_segment_sum():
     """The per-bank mixed scatter (batch multibank TPU path: each bank
     uses its own reach) must agree with the global segment_sum scatter
@@ -202,6 +205,7 @@ def test_note_naming():
     assert "A4" in describe_frequency(440.0)
 
 
+@pytest.mark.slow
 def test_mixed_scatter_multichannel_lead_dims():
     """_scatter_mixed must handle leading channel dims: per-bank pallas
     histograms flatten the lead internally, segment_sum banks vmap —

@@ -74,6 +74,7 @@ def test_one_bad_sample_never_poisons_state(mode, multires, bad):
 
 @pytest.mark.parametrize("mode", ["natural", "enhanced"])
 @pytest.mark.parametrize("bad", [np.nan, np.inf])
+@pytest.mark.slow
 def test_streaming_equals_batch_with_poisoned_input(mode, bad):
     """The scrub is INSIDE the shared per-bank power / deposit path, so
     streaming ≡ batch must survive poisoned input unchanged."""

@@ -288,6 +288,7 @@ def test_sustained_display_keeps_up(tmp_path):
     assert rep["p99_drain_gap_ms"] < 1000.0, rep
 
 
+@pytest.mark.slow
 def test_soak_plumbing_short(tmp_path):
     """The leak-soak harness (round-3 VERDICT #5) end to end at CPU test
     scale: live shell + churn thread run, counters advance, slopes and

@@ -80,6 +80,7 @@ def test_histogram_empty_bins_and_total():
 
 
 # ----------------------------------------------- pipeline backend parity
+@pytest.mark.slow
 def test_pipeline_batch_scatter_backends_agree():
     from emspec.config import Settings
     from emspec.pipeline import Pipeline
@@ -97,6 +98,7 @@ def test_pipeline_batch_scatter_backends_agree():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_stream_scatter_backends_agree():
     from emspec.config import Settings
     from emspec.pipeline import Pipeline
@@ -186,6 +188,7 @@ def test_fft4_streaming_single_frame_shape():
     (8192, 2048, 4),      # full-spectrum path (n2 = 128)
     (32768, 8192, 2),     # half-spectrum step-3 path (n2 = 256)
 ])
+@pytest.mark.slow
 def test_fft4_deposits_matches_unfused_path(n, hop, B):
     """The fused FFT→deposits kernel must reproduce the unfused
     stencil+corrections+quantize chain: deposits are order-permuted, so
@@ -263,6 +266,7 @@ def test_windowed_frames_1d_streaming_shape():
     np.testing.assert_allclose(got, want, atol=0)
 
 
+@pytest.mark.slow
 def test_scatter_passes_knob():
     """scatter_passes wires through to the kernel: 1-pass stays within
     its documented bf16 display-grade bound, 3-pass matches segment_sum
@@ -307,6 +311,7 @@ def test_pallas_scatter_short_signal():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fft4_hist_matches_composed_path():
     """The fully fused analysis+scatter kernel (fft4_hist) reproduces
     fft4_deposits(reach) → histogram_reference, and its streaming mask

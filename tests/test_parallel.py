@@ -26,6 +26,7 @@ def _settings(**kw):
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     n_dev = len(jax.devices())
     s = _settings(channels=2 * n_dev, smoothing=0.4)
@@ -43,6 +44,7 @@ def test_sharded_matches_single_device():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_global_agc_collective():
     """agc_global=True forces a cross-chip all-reduce; references must be
     identical on every shard."""
@@ -66,6 +68,7 @@ def test_sharded_rejects_indivisible_channels():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_stream_matches_batch():
     """Streaming ≡ batch under channel sharding (VERDICT round-2 #3b):
     the production _stream_step jitted over the mesh with the full
@@ -144,6 +147,7 @@ def test_sharded_step_collective_structure():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_sharded_stream_elastic_checkpoint_resume():
     """Checkpoint/resume × multichip (SURVEY §5.4 × §5.8): snapshot a
     sharded stream mid-flight to a HOST pytree, resume it on a mesh of a
@@ -307,6 +311,7 @@ def test_sharded_checkpoint_migration_guards_step(tmp_path):
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_time_parallel_render_matches_single_device():
     """TIME-axis offline rendering (the other parallel seam, SURVEY
     §2.5): halo-recompute analysis + affine EMA re-basing must equal the
@@ -366,6 +371,7 @@ def test_time_parallel_render_collective_census():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_time_parallel_render_uneven_tail():
     """t_count not divisible by the mesh: the padded tail columns must
     neither appear in the output nor leak into the final post state."""

@@ -119,6 +119,7 @@ def test_apply_lut():
     assert rgba[4, 0] == 0     # clipped low
 
 
+@pytest.mark.slow
 def test_associative_post_matches_sequential_within_tolerance():
     """The TPU batch path's associative EMA scans (postprocess_batch
     associative=True) must agree with the sequential bit-exact path to

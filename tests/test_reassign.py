@@ -149,6 +149,7 @@ def test_silence_gives_zero():
     assert S.sum() == 0.0
 
 
+@pytest.mark.slow
 def test_multichannel_vmap_consistency():
     x0 = synth.tone(440.0, 0.1, SR)
     x1 = synth.tone(2000.0, 0.1, SR)

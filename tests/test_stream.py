@@ -77,6 +77,7 @@ def test_streaming_equals_batch(mode):
     np.testing.assert_array_equal(rgba_s, np.asarray(rgba_b))
 
 
+@pytest.mark.slow
 def test_streaming_equals_batch_multichannel():
     s = _settings(mode="enhanced", channels=2, smoothing=0.3)
     x = np.stack([synth.tone(440.0, 0.15, SR), synth.chirp(200, 4000, 0.15, SR)])
@@ -435,6 +436,7 @@ def test_live_state_pauses_stream(tmp_path):
 
 
 @pytest.mark.parametrize("fft_method", ["direct", "stencil"])
+@pytest.mark.slow
 def test_streaming_equals_batch_direct_method(fft_method):
     """Both FFT formulations must hold the streaming == batch contract
     (regression: the direct path once diverged to a TPU-only kernel with
