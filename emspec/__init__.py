@@ -49,6 +49,9 @@ def __getattr__(name):
     if name == "channel_mesh":
         from emspec.parallel import channel_mesh
         return channel_mesh
+    if name == "ch_time_mesh":
+        from emspec.parallel import ch_time_mesh
+        return ch_time_mesh
     if name == "TimeParallelRenderer":
         from emspec.parallel import TimeParallelRenderer
         return TimeParallelRenderer

@@ -116,11 +116,24 @@ def cmd_render(args) -> int:
         # tiled per-channel view (log-frequency display path), one batched
         # pipeline pass over all channels
         if time_parallel:
-            # channels ride unsharded; the time axis shards over devices
+            # compose the two seams when the device count allows it
+            # (round 5): the largest n_ch dividing both the channel
+            # count and the device count shards channels, the rest of
+            # the mesh shards time; on one device (or indivisible
+            # channels) this degrades to the pure time mesh
+            import jax as _jax
             import numpy as _np
-            from emspec.parallel import TimeParallelRenderer, channel_mesh
+            from emspec.parallel import (TimeParallelRenderer,
+                                         ch_time_mesh, channel_mesh)
             sc = s.replace(channels=audio.shape[0], display_channel=0)
-            r = TimeParallelRenderer(sc, channel_mesh(axis="t"))
+            n_dev, n_ch = len(_jax.devices()), 1
+            for cand in range(min(audio.shape[0], n_dev), 0, -1):
+                if audio.shape[0] % cand == 0 and n_dev % cand == 0:
+                    n_ch = cand
+                    break
+            mesh = (ch_time_mesh(n_ch) if n_ch > 1
+                    else channel_mesh(axis="t"))
+            r = TimeParallelRenderer(sc, mesh)
             _, rgba, _ = r.render(audio)
             raster = _np.asarray(rgba)            # (t, ch, rows, 4)
             imgs = [raster[:, c].transpose(1, 0, 2)[::-1]
@@ -493,7 +506,11 @@ def cmd_bench(args) -> int:
         # long-running leak soak on the product path (L1→L4 + live shell
         # + settings/preset churn thread) — RSS/device-mem/keep-up slopes
         from emspec.bench.soak import soak
-        report = soak(seconds=args.duration or 600.0)
+        from emspec.config import Settings
+        report = soak(
+            settings=Settings(mode=args.soak_mode, multires=True),
+            seconds=args.duration or 600.0,
+            inject_nonfinite=args.soak_inject_nonfinite)
         if args.quick:
             report.pop("raw", None)
         print(json.dumps(report, indent=2))
@@ -674,6 +691,14 @@ def main(argv=None) -> int:
     pb.add_argument("--duration", type=float, default=0.0,
                     help="seconds per --sustained or --soak run "
                          "(defaults 8 / 600)")
+    pb.add_argument("--soak-mode", choices=["enhanced", "natural"],
+                    default="enhanced",
+                    help="display mode for the --soak run (natural is "
+                         "the reference's other first-class button)")
+    pb.add_argument("--soak-inject-nonfinite", action="store_true",
+                    help="corrupt every 40th capture block with one "
+                         "NaN/Inf sample during the soak — drives the "
+                         "non-finite poisoning guard at product scale")
     pb.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

@@ -112,8 +112,17 @@ class _Churn(threading.Thread):
 
 
 def soak(settings=None, seconds: float = 600.0,
-         sample_every: float = 5.0, user_dir=None) -> dict:
-    """Run the live shell + churn for ``seconds``; return leak verdicts."""
+         sample_every: float = 5.0, user_dir=None,
+         inject_nonfinite: bool = False, inject_every: int = 40) -> dict:
+    """Run the live shell + churn for ``seconds``; return leak verdicts.
+
+    ``inject_nonfinite``: corrupt every ``inject_every``-th capture block
+    with one non-finite sample (NaN/+Inf/−Inf cycling) ON the producer
+    thread — the single-producer seqlock contract is preserved because
+    the corruption wraps the feeder's own sink.  This is the soak-scale
+    drive of the round-5 poisoning fix (VERDICT r4 #4): a real capture
+    driver can deliver non-finite floats, and the display must keep up
+    and keep rendering through them indefinitely."""
     import contextlib
     import tempfile
 
@@ -125,6 +134,23 @@ def soak(settings=None, seconds: float = 600.0,
                if user_dir is None else contextlib.nullcontext(str(user_dir)))
     with tmp_ctx as ud:
         srv = ShellServer(s, port=0, source="synthetic", user_dir=ud)
+        inject_counts = {"blocks": 0, "injected": 0}
+        if inject_nonfinite:
+            # patch BEFORE start(): the capture source binds its sink at
+            # start; the wrapper runs on the producer thread (SPSC kept)
+            orig_push = srv.feeder._ring_push
+            bad_cycle = (np.nan, np.inf, -np.inf)
+
+            def corrupting_push(chunk):
+                inject_counts["blocks"] += 1
+                if inject_counts["blocks"] % inject_every == 0:
+                    chunk = np.array(chunk, copy=True)
+                    chunk[..., chunk.shape[-1] // 2] = \
+                        bad_cycle[inject_counts["injected"] % 3]
+                    inject_counts["injected"] += 1
+                orig_push(chunk)
+
+            srv.feeder._ring_push = corrupting_push
         srv.start()
         churn = _Churn(srv.port)
         samples = []           # (t, rss_mb, device_mb, columns)
@@ -143,6 +169,12 @@ def soak(settings=None, seconds: float = 600.0,
                 if now >= seconds:
                     break
                 time.sleep(sample_every)
+            # liveness proof at the end of the clock: the display is
+            # still rendering CONTENT (a poisoning bug would leave it
+            # permanently black/garbage even while columns keep flowing)
+            with srv.lock:
+                img = srv.app.image()
+            final_frame_nonblack = bool(np.asarray(img)[..., :3].any())
         finally:
             churn.stop_ev.set()
             if churn.is_alive():    # never started if warmup was aborted
@@ -200,6 +232,9 @@ def soak(settings=None, seconds: float = 600.0,
         "keepup_first_half": round(keepup(settle, half), 4),
         "keepup_second_half": round(keepup(half, ts[-1]), 4),
         "churn": churn.counts,
+        "mode": s.mode,
+        "nonfinite_injected": inject_counts["injected"],
+        "final_frame_nonblack": final_frame_nonblack,
         "raw": [(round(t, 1), round(r, 1),
                  None if d is None else round(d, 1), int(c))
                 for t, r, d, c in samples],

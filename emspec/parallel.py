@@ -36,6 +36,19 @@ def channel_mesh(devices=None, axis: str = "ch") -> Mesh:
     return Mesh(devices, (axis,))
 
 
+def ch_time_mesh(n_ch: int, devices=None) -> Mesh:
+    """2-D (ch × t) mesh for the composed :class:`TimeParallelRenderer`:
+    ``n_ch`` channel shards × (devices/n_ch) time shards.  Axis order
+    puts "ch" major so consecutive devices share a time shard — on a
+    real pod, reorder the device array to put the per-hop global-AGC
+    collective ("ch") on the fastest links."""
+    devices = np.array(devices if devices is not None else jax.devices())
+    if devices.size % n_ch:
+        raise ValueError(f"{devices.size} devices not divisible by "
+                         f"n_ch={n_ch}")
+    return Mesh(devices.reshape(n_ch, -1), ("ch", "t"))
+
+
 class ShardedPipeline:
     """Channel-sharded batch processing over a mesh.
 
@@ -230,11 +243,40 @@ class TimeParallelRenderer:
     batch on the virtual mesh, plus shard shapes (no silent
     replication) and the collective census (exactly the two
     all_gathers + the final-state psum).
+
+    **2-D (ch × t) composition** (round-5; SURVEY §2.5 × §5.8): pass a
+    two-axis mesh with one axis named ``"t"`` — the other axis shards
+    CHANNELS, composing this renderer with :class:`ShardedPipeline`'s
+    seam (the stress config [NS configs[4]] offline-rendered on a pod
+    wants both).  The channel axis is embarrassingly parallel through
+    the whole analysis (the scatter is channel-local); the only
+    cross-channel collective is the optional global-AGC ``pmax``
+    (``postprocess_batch_timeshard(ch_axis=…)``), while the EMA
+    all_gathers and the final-state psum cross the time axis alone —
+    on a real pod, lay the mesh so "t" rides the slower links and "ch"
+    the faster, since "ch" carries the per-hop collective.
     """
 
     def __init__(self, settings: Settings, mesh: Mesh, params=None):
         self.mesh = mesh
-        self.axis = mesh.axis_names[0]
+        names = mesh.axis_names
+        if len(names) == 1:
+            self.axis, self.ch_axis = names[0], None
+        elif len(names) == 2:
+            if "t" not in names:
+                raise ValueError(
+                    f"a 2-D TimeParallelRenderer mesh needs an axis "
+                    f"named 't' (time); got {names}")
+            self.axis = "t"
+            self.ch_axis = next(a for a in names if a != "t")
+            n_ch = mesh.shape[self.ch_axis]
+            if settings.channels % n_ch != 0:
+                raise ValueError(
+                    f"channels ({settings.channels}) must be divisible "
+                    f"by the mesh's {self.ch_axis!r} axis ({n_ch})")
+        else:
+            raise ValueError(f"mesh must be 1-D (time) or 2-D (ch × "
+                             f"time); got axes {names}")
         self.pipe: Pipeline = get_pipeline(settings)
         self.settings = settings
         self.params = params or self.pipe.params(settings)
@@ -247,8 +289,8 @@ class TimeParallelRenderer:
         from emspec.post.chain import postprocess_batch_timeshard
         from emspec.post.colormap import apply_lut
 
-        pipe, ax = self.pipe, self.axis
-        n = self.mesh.devices.size
+        pipe, ax, chax = self.pipe, self.axis, self.ch_axis
+        n = self.mesh.shape[ax]
         L = -(-t_count // n)                       # ceil: columns per device
         R, hop, n_max = pipe.reach, pipe.hop, pipe.n_max
         t_local = L + 2 * R
@@ -271,16 +313,25 @@ class TimeParallelRenderer:
             power = jnp.moveaxis(power, -2, 0)[R:R + L]   # interior columns
             valid = jnp.clip(t_count - d * L, 0, L)
             vis, st_out = postprocess_batch_timeshard(
-                power, state0, p.post, ax, agc_global, valid_count=valid)
+                power, state0, p.post, ax, agc_global, valid_count=valid,
+                ch_axis=chax)
             rgba = apply_lut(vis, p.lut)
             # global final state = carry-out of the device owning column
             # t_count−1, shipped to every device via a masked psum
+            # (crossing the time axis only — the channel axis keeps its
+            # own shard of the state)
             owner = (t_count - 1) // L
             sel = (d == owner).astype(jnp.float32)
             st_fin = jax.tree_util.tree_map(
                 lambda a: jax.lax.psum(a * sel, ax), st_out)
             return vis, rgba, st_fin
 
+        # channel-sharded leaves: x (ch, samples), state (ch, rows)/(ch,)
+        sh_x = P(chax, None) if chax else P()
+        sh_state = (PostState(smooth=P(chax, None), agc_ref=P(chax))
+                    if chax else P())
+        sh_vis = P(ax, chax, None) if chax else P(ax)
+        sh_rgba = P(ax, chax, None, None) if chax else P(ax)
         # check_vma=False: the Pallas kernels (fused deposits, MXU
         # scatter) declare no varying-mesh-axes metadata on their out
         # shapes, which jax 0.9's vma checker rejects inside shard_map;
@@ -288,8 +339,8 @@ class TimeParallelRenderer:
         # (test_time_parallel_render_collective_census)
         return jax.jit(shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(P(), P(), P()),
-            out_specs=(P(ax), P(ax), P()),
+            in_specs=(sh_x, P(), sh_state),
+            out_specs=(sh_vis, sh_rgba, sh_state),
             check_vma=False,
         )), L, slice_len
 
@@ -304,6 +355,12 @@ class TimeParallelRenderer:
         if t_count <= 0:
             raise ValueError(f"need at least {pipe.n_max} samples")
         lead = x.shape[:-1]
+        if self.ch_axis is not None and (
+                x.ndim != 2 or x.shape[0] % self.mesh.shape[self.ch_axis]):
+            raise ValueError(
+                f"a (ch × t) mesh needs (channels, samples) input with "
+                f"channels divisible by the {self.ch_axis!r} axis "
+                f"({self.mesh.shape[self.ch_axis]}); got {x.shape}")
         # one program per t_count (jit re-specializes on lead shapes
         # internally); bounded like the module-level graph caches — a
         # directory of varying-length files must not accumulate compiled
@@ -313,7 +370,7 @@ class TimeParallelRenderer:
                 self._jit_cache.pop(next(iter(self._jit_cache)))
             self._jit_cache[t_count] = self._build(t_count)
         f, L, slice_len = self._jit_cache[t_count]
-        n = self.mesh.devices.size
+        n = self.mesh.shape[self.axis]
         R, hop = pipe.reach, pipe.hop
         # padded coordinates: R·hop zeros on the left (so device 0's halo
         # exists), zeros on the right covering the last device's slice —

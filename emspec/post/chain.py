@@ -239,9 +239,17 @@ def _affine_chunk_in(y0, fin_all, alpha_L, axis_name):
 def postprocess_batch_timeshard(
     power_local: jnp.ndarray, state0: PostState, p: PostParams,
     axis_name: str, global_agc: bool = False, valid_count=None,
+    ch_axis: str | None = None,
 ) -> tuple[jnp.ndarray, PostState]:
     """Post chain for a TIME-sharded batch under ``shard_map``
     (SURVEY §2.5; used by :class:`emspec.parallel.TimeParallelRenderer`).
+
+    ``ch_axis``: when the mesh ALSO shards channels (the 2-D (ch × t)
+    composition), the global-AGC coupling needs one more hop — the
+    local lead-axis max only covers this device's channel shard, so a
+    ``pmax`` over ``ch_axis`` completes it.  That is the composition's
+    only cross-channel collective; everything else (the EMA all_gathers,
+    the final-state psum) crosses the time axis alone.
 
     ``power_local``: this device's contiguous (L, ..., rows) column
     chunk; ``state0`` the GLOBAL initial post state (replicated).  The
@@ -263,6 +271,8 @@ def postprocess_batch_timeshard(
     # peak_db is (L, ...): same lead-axis coupling as postprocess_batch
     v_db, peak_db = _boost_db_peak(
         power_local, p, global_agc, tuple(range(1, power_local.ndim - 1)))
+    if global_agc and ch_axis is not None:
+        peak_db = jax.lax.pmax(peak_db, ch_axis)
 
     zero_ref = jnp.zeros_like(state0.agc_ref)
     refs0, ref_fin0 = _ema_scan(zero_ref, AGC_DECAY, peak_db, True)

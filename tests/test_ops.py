@@ -309,6 +309,26 @@ def test_soak_plumbing_short(tmp_path):
     assert np.isfinite(rep["keepup_second_half"])
 
 
+@pytest.mark.slow
+def test_soak_nonfinite_injection_plumbing(tmp_path):
+    """Round-5 (VERDICT r4 #4): the soak's non-finite injection wraps the
+    feeder's own sink (single-producer preserved), corrupted blocks flow
+    through the REAL capture -> ring -> stream -> waterfall path, and the
+    display keeps emitting non-black columns through them."""
+    from emspec.bench.soak import soak
+    from emspec.config import Settings
+
+    s = Settings(mode="natural", multires=False, fft_size=1024,
+                 raster_height=64, raster_width=128, hop=512)
+    rep = soak(s, seconds=4.0, sample_every=0.5, user_dir=tmp_path,
+               inject_nonfinite=True, inject_every=3)
+    assert rep["nonfinite_injected"] > 5
+    assert rep["columns_emitted"] > 0
+    assert rep["churn"]["errors"] == 0, rep["churn"]
+    assert rep["final_frame_nonblack"] is True
+    assert np.isfinite(rep["keepup_second_half"])
+
+
 def test_fetch_throughput_measured_positive():
     """The derived local-host latency (round-3 VERDICT #4) composes
     device hop + column-bytes / measured D2H rate; the rate measurement

@@ -272,6 +272,35 @@ def test_time_parallel_render_mosaic_in_shard_map():
     assert dq.max() <= 1
 
 
+def test_time_parallel_2d_mesh_mosaic_on_chip():
+    """Round-5 composed (ch × t) program on the real chip (1×1 mesh):
+    the channel-sharded + time-sharded shard_map with the global-AGC
+    pmax must still Mosaic-compile the fused kernels and match the
+    plain batch; multi-device semantics are pinned on the virtual mesh
+    (tests/test_parallel.py) and in the driver dryrun."""
+    from emspec.config import Settings
+    from emspec.io import synth
+    from emspec.parallel import TimeParallelRenderer, ch_time_mesh
+    from emspec.pipeline import Pipeline
+
+    s = Settings(mode="enhanced", multires=False, fft_size=8192,
+                 channels=2, auto_gain=True, agc_global=True)
+    pipe = Pipeline(s)
+    assert pipe.use_pallas_scatter
+    one = np.asarray(synth.chirp(100.0, 18000.0, 0.8), np.float32)
+    x = np.stack([one, one * 0.25])
+    r = TimeParallelRenderer(s, ch_time_mesh(1, devices=jax.devices()[:1]))
+    vis, rgba, st = r.render(x)
+    vis1, rgba1, st1 = pipe.process(x)
+    np.testing.assert_allclose(np.asarray(vis), np.asarray(vis1),
+                               atol=1e-5)
+    dq = np.abs(np.asarray(rgba).astype(np.int16)
+                - np.asarray(rgba1).astype(np.int16))
+    assert dq.max() <= 1
+    np.testing.assert_allclose(np.asarray(st.agc_ref),
+                               np.asarray(st1.agc_ref), atol=1e-4)
+
+
 def test_roofline_model_matches_measured_kernels():
     """VERDICT round-2 #7: the roofline model's per-stage flop/byte
     formulas must reproduce reality within ~2×, not drift as formulas.
