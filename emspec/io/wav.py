@@ -72,33 +72,38 @@ def _read_wav_manual(path: str | Path) -> tuple[int, int, int, bytes, int]:
     the returned tag is already resolved through the extensible SubFormat
     GUID (1 = PCM, 3 = IEEE float)."""
     import struct
-    with open(path, "rb") as f:
-        riff, _, wave_id = struct.unpack("<4sI4s", f.read(12))
-        if riff != b"RIFF" or wave_id != b"WAVE":
-            raise ValueError(f"{path}: not a RIFF/WAVE file")
-        rate = nch = width = tag = None
-        data = None
-        while True:
-            hdr = f.read(8)
-            if len(hdr) < 8:
-                break
-            cid, csize = struct.unpack("<4sI", hdr)
-            if cid == b"fmt ":
-                body = f.read(csize + (csize & 1))
-                tag, nch, rate, _bps, _align, bits = struct.unpack(
-                    "<HHIIHH", body[:16])
-                if tag == 0xFFFE and len(body) >= 26:
-                    tag = struct.unpack("<H", body[24:26])[0]
-                width = bits // 8
-            elif cid == b"data":
-                data = f.read(csize)
-                if csize & 1:
-                    f.seek(1, 1)              # chunks are word-aligned
-            else:
-                f.seek(csize + (csize & 1), 1)
-        if rate is None or data is None:
-            raise ValueError(f"{path}: missing fmt/data chunk")
-        return rate, nch, width, data, tag
+    # struct.error from short/lying header fields is re-raised as the
+    # decoder's documented ValueError (fuzz contract, VERDICT r4 #5)
+    try:
+        with open(path, "rb") as f:
+            riff, _, wave_id = struct.unpack("<4sI4s", f.read(12))
+            if riff != b"RIFF" or wave_id != b"WAVE":
+                raise ValueError(f"{path}: not a RIFF/WAVE file")
+            rate = nch = width = tag = None
+            data = None
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                cid, csize = struct.unpack("<4sI", hdr)
+                if cid == b"fmt ":
+                    body = f.read(csize + (csize & 1))
+                    tag, nch, rate, _bps, _align, bits = struct.unpack(
+                        "<HHIIHH", body[:16])
+                    if tag == 0xFFFE and len(body) >= 26:
+                        tag = struct.unpack("<H", body[24:26])[0]
+                    width = bits // 8
+                elif cid == b"data":
+                    data = f.read(csize)
+                    if csize & 1:
+                        f.seek(1, 1)          # chunks are word-aligned
+                else:
+                    f.seek(csize + (csize & 1), 1)
+    except struct.error as e:
+        raise ValueError(f"{path}: malformed WAV header") from e
+    if rate is None or data is None or not nch:
+        raise ValueError(f"{path}: missing fmt/data chunk")
+    return rate, nch, width, data, tag
 
 
 def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
@@ -120,8 +125,12 @@ def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
             nch = w.getnchannels()
             width = w.getsampwidth()
             raw = w.readframes(w.getnframes())
-    except wave.Error:
+        if not nch:
+            raise ValueError(f"{path}: zero-channel WAV")
+    except (wave.Error, EOFError, RuntimeError):
         # stdlib wave rejects IEEE-float / extensible containers outright
+        # (and raises EOFError on truncated chunk headers, plus a bare
+        # RuntimeError from Chunk.seek on lying chunk sizes — fuzz find)
         rate, nch, width, raw, tag = _read_wav_manual(path)
 
     if width == 2:

@@ -167,21 +167,16 @@ def read_apng(path: str | Path) -> tuple[np.ndarray, float]:
             f"{path}: acTL declares {n_declared} frames, found {len(frame_data)}")
     if seqs != list(range(len(seqs))):
         raise ValueError(f"{path}: non-contiguous APNG sequence numbers {seqs}")
+    from emspec.render.png import check_dims, decompress_exact
+
+    expected = check_dims(w, h, c, str(path))
     stride = 1 + w * c
     frames = []
     for i, blob in enumerate(frame_data):
-        try:
-            # empty blob (fcTL with no IDAT/fdAT) or corrupt compressed
-            # bytes must be the documented clean ValueError, not a
-            # zlib.error escaping the decoder (ADVICE round 4)
-            raw = zlib.decompress(blob)
-        except zlib.error as e:
-            raise ValueError(
-                f"{path}: frame {i} has corrupt/missing compressed data"
-            ) from e
-        if len(raw) != h * stride:
-            raise ValueError(f"{path}: frame {i} has {len(raw)} bytes, "
-                             f"expected {h * stride}")
+        # bounded, exact decompress: empty blobs (fcTL with no
+        # IDAT/fdAT), corrupt streams, and decompression bombs are all
+        # the documented clean ValueError (ADVICE round 4 + VERDICT #5)
+        raw = decompress_exact(blob, expected, f"{path}: frame {i}")
         arr = np.frombuffer(raw, np.uint8).reshape(h, stride)
         if np.any(arr[:, 0] != 0):
             raise ValueError(f"{path}: non-zero PNG filter (not write_apng output)")

@@ -73,32 +73,71 @@ def write_png(path: str | Path, rgba: np.ndarray) -> None:
     Path(path).write_bytes(payload)
 
 
+def decompress_exact(blob: bytes, expected: int, what: str) -> bytes:
+    """zlib-decompress ``blob`` to EXACTLY ``expected`` bytes or raise
+    ValueError — never more: the output is capped at ``expected`` before
+    any allocation, so a crafted decompression bomb (a few KB expanding
+    to GBs) costs at most ``expected`` bytes, and corrupt streams raise
+    the decoders' documented ValueError instead of zlib.error
+    (round-5 decoder-robustness sweep, VERDICT r4 #5)."""
+    if not blob:
+        raise ValueError(f"{what}: corrupt/missing compressed data")
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(blob, expected)
+        extra = d.decompress(d.unconsumed_tail, 1)
+    except zlib.error as e:
+        raise ValueError(f"{what}: corrupt/missing compressed data") from e
+    if len(raw) != expected or extra:
+        raise ValueError(f"{what}: decompressed size != expected {expected}")
+    return raw
+
+
+def check_dims(w: int, h: int, c: int, what: str) -> int:
+    """Validate header-claimed dimensions BEFORE they size any loop or
+    allocation; → the scanline byte count h·(1 + w·c)."""
+    expected = h * (1 + w * c)
+    if w == 0 or h == 0 or expected > (1 << 31):
+        raise ValueError(f"{what}: implausible dimensions {w}x{h}")
+    return expected
+
+
 def read_png(path: str | Path) -> np.ndarray:
     """Minimal decoder for PNGs written by :func:`write_png` (8-bit
     RGB/RGBA, filter 0 on every scanline, one IDAT stream) — enough for
-    tests and tools to read our own output back without a dependency."""
+    tests and tools to read our own output back without a dependency.
+
+    Robustness contract (fuzz-pinned, tests/test_decoder_fuzz.py): any
+    input either parses or raises ValueError — truncated chunks, lying
+    length fields, zero/huge dimensions, corrupt or bomb zlib streams
+    included."""
     data = Path(path).read_bytes()
     if data[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError(f"{path}: not a PNG")
     pos, w = 8, None
-    idat = b""
-    while pos < len(data):
-        (ln,), tag = struct.unpack(">I", data[pos:pos + 4]), data[pos + 4:pos + 8]
+    idat = []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise ValueError(f"{path}: truncated chunk {tag!r}")
         if tag == b"IHDR":
+            if ln < 10:
+                raise ValueError(f"{path}: IHDR chunk too short ({ln})")
             w, h, depth, color = struct.unpack(">IIBB", body[:10])
             if depth != 8 or color not in (2, 6):
                 raise ValueError(f"{path}: unsupported PNG (not write_png output)")
             c = 4 if color == 6 else 3
         elif tag == b"IDAT":
-            idat += body
+            idat.append(body)
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError(f"{path}: truncated PNG (missing IHDR or IDAT)")
-    raw = zlib.decompress(idat)
+    expected = check_dims(w, h, c, str(path))
+    raw = decompress_exact(b"".join(idat), expected, str(path))
     stride = 1 + w * c
-    rows = [np.frombuffer(raw[r * stride + 1:(r + 1) * stride], np.uint8)
-            for r in range(h)]
-    if any(raw[r * stride] != 0 for r in range(h)):
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    if arr[:, 0].any():
         raise ValueError(f"{path}: non-zero PNG filter (not write_png output)")
-    return np.stack(rows).reshape(h, w, c)
+    return arr[:, 1:].reshape(h, w, c)
