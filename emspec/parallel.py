@@ -38,10 +38,13 @@ def channel_mesh(devices=None, axis: str = "ch") -> Mesh:
 
 def ch_time_mesh(n_ch: int, devices=None) -> Mesh:
     """2-D (ch × t) mesh for the composed :class:`TimeParallelRenderer`:
-    ``n_ch`` channel shards × (devices/n_ch) time shards.  Axis order
-    puts "ch" major so consecutive devices share a time shard — on a
-    real pod, reorder the device array to put the per-hop global-AGC
-    collective ("ch") on the fastest links."""
+    ``n_ch`` channel shards × (devices/n_ch) time shards.  "ch" is the
+    major axis: consecutive devices hold the SAME channel shard across
+    consecutive time shards, so the "ch" collective (the one global-AGC
+    pmax per render) crosses device strides of n_t.  All collectives
+    here are once-per-render, so the layout barely matters for this
+    renderer; on a real pod reorder the device array to match the
+    physical topology if profiling says otherwise."""
     devices = np.array(devices if devices is not None else jax.devices())
     if devices.size % n_ch:
         raise ValueError(f"{devices.size} devices not divisible by "
@@ -251,10 +254,9 @@ class TimeParallelRenderer:
     wants both).  The channel axis is embarrassingly parallel through
     the whole analysis (the scatter is channel-local); the only
     cross-channel collective is the optional global-AGC ``pmax``
-    (``postprocess_batch_timeshard(ch_axis=…)``), while the EMA
-    all_gathers and the final-state psum cross the time axis alone —
-    on a real pod, lay the mesh so "t" rides the slower links and "ch"
-    the faster, since "ch" carries the per-hop collective.
+    (``postprocess_batch_timeshard(ch_axis=…)``) — ONE all-reduce per
+    render covering every column's peak — while the EMA all_gathers and
+    the final-state psum cross the time axis alone.
     """
 
     def __init__(self, settings: Settings, mesh: Mesh, params=None):
