@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import struct
+import sys
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -32,6 +33,21 @@ import numpy as np
 
 from emspec.app import EmSpecApp
 from emspec.config import COLORMAPS, FFT_SIZES, Settings
+
+
+class _QuietServer(ThreadingHTTPServer):
+    """A client that hangs up mid-response (tab closed, request timeout)
+    is normal desktop-app traffic, not a server fault: swallow the
+    resulting connection errors instead of spewing a traceback per
+    disconnect to stderr (observed: churn-soak clients timing out during
+    the startup compile window left BrokenPipeError stacks).  Every
+    other handler exception still gets the default report."""
+
+    def handle_error(self, request, client_address):
+        exc = sys.exception()
+        if isinstance(exc, (ConnectionError, TimeoutError)):
+            return
+        super().handle_error(request, client_address)
 
 
 class ShellServer:
@@ -63,8 +79,8 @@ class ShellServer:
         # manifest configured means .notice stays None)
         from emspec.utils.update import UpdateChecker
         self.update_check = UpdateChecker()
-        self.httpd = ThreadingHTTPServer(("127.0.0.1", port),
-                                         self._make_handler())
+        self.httpd = _QuietServer(("127.0.0.1", port),
+                                  self._make_handler())
         self.port = self.httpd.server_address[1]
 
     # --------------------------------------------------------------- feeding

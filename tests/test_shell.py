@@ -325,3 +325,32 @@ def test_record_endpoint_rejects_bad_params(shell):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _get(shell, f"/api/record?{bad}")
         assert ei.value.code == 400
+
+
+def test_client_hangup_is_silent_and_nonfatal(shell, capsys):
+    """A client that disconnects mid-response (tab closed, request
+    timeout — observed as BrokenPipeError stacks during the natural-mode
+    soak's startup compile window) is normal traffic: the server must
+    not print a traceback, and must keep serving.  Any other handler
+    exception still gets the default stderr report."""
+    import socket
+
+    # real hangup: send a request, close before reading the response
+    sk = socket.create_connection(("127.0.0.1", shell.port), timeout=5)
+    sk.sendall(b"GET / HTTP/1.1\r\nHost: x\r\n\r\n")
+    sk.close()
+    time.sleep(0.3)                        # let the handler thread hit the pipe
+    assert json.loads(_get(shell, "/api/meta"))["version"]  # still serving
+    assert "Traceback" not in capsys.readouterr().err
+
+    # the suppression is scoped to connection errors only
+    try:
+        raise BrokenPipeError(32, "broken pipe")
+    except BrokenPipeError:
+        shell.httpd.handle_error(None, ("127.0.0.1", 1))
+    assert capsys.readouterr().err == ""
+    try:
+        raise ValueError("handler bug")
+    except ValueError:
+        shell.httpd.handle_error(None, ("127.0.0.1", 1))
+    assert "ValueError" in capsys.readouterr().err
