@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 
 
@@ -126,11 +127,7 @@ def cmd_render(args) -> int:
             from emspec.parallel import (TimeParallelRenderer,
                                          ch_time_mesh, channel_mesh)
             sc = s.replace(channels=audio.shape[0], display_channel=0)
-            n_dev, n_ch = len(_jax.devices()), 1
-            for cand in range(min(audio.shape[0], n_dev), 0, -1):
-                if audio.shape[0] % cand == 0 and n_dev % cand == 0:
-                    n_ch = cand
-                    break
+            n_ch = math.gcd(audio.shape[0], len(_jax.devices()))
             mesh = (ch_time_mesh(n_ch) if n_ch > 1
                     else channel_mesh(axis="t"))
             r = TimeParallelRenderer(sc, mesh)

@@ -133,6 +133,12 @@ def _read_wav_py(path: str | Path) -> tuple[np.ndarray, int]:
         # RuntimeError from Chunk.seek on lying chunk sizes — fuzz find)
         rate, nch, width, raw, tag = _read_wav_manual(path)
 
+    if not rate:
+        # a lying fmt chunk with rate=0 parses fine on both paths but
+        # ZeroDivides every downstream consumer (feed.py paces on
+        # sent / rate)
+        raise ValueError(f"{path}: invalid sample rate 0")
+
     if width == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 4:

@@ -170,6 +170,12 @@ def read_apng(path: str | Path) -> tuple[np.ndarray, float]:
     from emspec.render.png import check_dims, decompress_exact
 
     expected = check_dims(w, h, c, str(path))
+    if len(frame_data) * expected > (1 << 31):
+        # check_dims bounds ONE frame; a crafted acTL times a large
+        # canvas must not drive a multi-GB total allocation across the
+        # frames list + np.stack (decoder fuzz contract)
+        raise ValueError(f"{path}: implausible total animation size "
+                         f"{len(frame_data)}x{expected} bytes")
     stride = 1 + w * c
     frames = []
     for i, blob in enumerate(frame_data):
@@ -187,4 +193,6 @@ def read_apng(path: str | Path) -> tuple[np.ndarray, float]:
         # delay to ~10 ms — report that implied rate instead of dividing
         # by zero (ADVICE round 4)
         return np.stack(frames), 100.0
+    if den == 0:
+        den = 100   # APNG spec: a zero denominator means 1/100 s units
     return np.stack(frames), den / num

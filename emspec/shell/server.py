@@ -44,7 +44,9 @@ class _QuietServer(ThreadingHTTPServer):
     other handler exception still gets the default report."""
 
     def handle_error(self, request, client_address):
-        exc = sys.exception()
+        # sys.exc_info, not sys.exception(): the latter is 3.12-only and
+        # pyproject declares >= 3.10
+        exc = sys.exc_info()[1]
         if isinstance(exc, (ConnectionError, TimeoutError)):
             return
         super().handle_error(request, client_address)

@@ -210,3 +210,56 @@ def test_animate_api_rejects_wrong_channel_count():
     s = Settings(fft_size=1024, multires=False, channels=3)
     with pytest.raises(ValueError, match="channels"):
         next(animate_frames(np.zeros((2, 4096), np.float32), s, fps=10))
+
+
+def _tiny_apng_bytes(num, den, w=2, h=2, n_frames=1, real_payload=True):
+    """Hand-built APNG; ``real_payload=False`` writes empty zlib streams
+    (fine for tests of guards that fire before decompression)."""
+    import struct
+    import zlib as _zlib
+
+    from emspec.render.png import png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+    actl = png_chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    raw = (b"".join(b"\x00" + b"\x01" * (4 * w) for _ in range(h))
+           if real_payload else b"")
+    seq = 0
+    body = b""
+    for i in range(n_frames):
+        body += png_chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, num, den, 0, 0))
+        seq += 1
+        if i == 0:
+            body += png_chunk(b"IDAT", _zlib.compress(raw))
+        else:
+            body += png_chunk(b"fdAT", struct.pack(">I", seq)
+                              + _zlib.compress(raw))
+            seq += 1
+    return sig + ihdr + actl + body + png_chunk(b"IEND", b"")
+
+
+def test_apng_reader_zero_delay_den(tmp_path):
+    """Spec: a zero delay denominator means 1/100-second units, so
+    (num=4, den=0) is 4/100 s per frame = 25 fps — not 0.0 fps (which
+    re-encoding via write_apng would turn into ZeroDivisionError)."""
+    p = tmp_path / "zero_den.png"
+    p.write_bytes(_tiny_apng_bytes(num=4, den=0))
+    frames, fps = read_apng(p)
+    assert frames.shape == (1, 2, 2, 4)
+    assert fps == 25.0
+
+
+def test_apng_reader_bounds_total_allocation(tmp_path):
+    """check_dims bounds ONE frame; a crafted acTL x a large canvas must
+    be rejected before the frames list + np.stack drive a multi-GB
+    allocation from a few-KB file (decoder fuzz contract).  1024x65535
+    RGBA ~ 0.27 GB/frame passes the single-frame cap; 100 declared
+    frames ~ 27 GB total must not."""
+    import pytest as _pytest
+    p = tmp_path / "bomb.png"
+    p.write_bytes(_tiny_apng_bytes(num=1, den=30, w=1024, h=65535,
+                                   n_frames=100, real_payload=False))
+    with _pytest.raises(ValueError, match="total animation size"):
+        read_apng(p)

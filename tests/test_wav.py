@@ -209,3 +209,24 @@ def test_write_wav_channels_first_escape_hatch(tmp_path):
               channels_first=False)
     got, _ = read_wav(tmp_path / "m.wav")
     assert got.shape == (1, 1000)
+
+
+def test_zero_sample_rate_rejected(tmp_path):
+    """A lying fmt chunk with rate=0 parses on both decode paths but
+    ZeroDivides every consumer that paces on samples/rate (feed.py) —
+    must be the documented clean ValueError instead."""
+    import numpy as np
+    import pytest
+
+    from emspec.io.wav import read_wav
+
+    body = (np.zeros(64, np.float32)).tobytes()
+    p = tmp_path / "rate0.wav"
+    p.write_bytes(_wav_blob(3, 32, body, rate=0))
+    with pytest.raises(ValueError, match="sample rate"):
+        read_wav(p)
+    # the int16 path goes through stdlib wave — same contract
+    p2 = tmp_path / "rate0_i16.wav"
+    p2.write_bytes(_wav_blob(1, 16, b"\x00\x00" * 64, rate=0))
+    with pytest.raises(ValueError, match="sample rate"):
+        read_wav(p2)
