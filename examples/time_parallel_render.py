@@ -40,3 +40,19 @@ print("devices:", len(mesh.devices),
       "| sharded over", len(vis.sharding.device_set), "devices",
       "| max |Δvis| vs single-device:",
       float(np.abs(np.asarray(vis) - np.asarray(vis1)).max()))
+
+# ---- composed (ch × t) 2-D mesh (round 5): both seams in ONE program.
+# A multichannel recording shards channels AND time together — the
+# offline-render-on-a-pod case (e.g. the 16-channel stress config).
+# The analysis stays channel-local; with global AGC the per-column
+# reference crosses the channel axis as a single pmax.
+from emspec import ch_time_mesh
+
+s2 = s.replace(channels=2, agc_global=True)
+x2 = np.stack([x, np.asarray(synth.multitone([440.0], 2.0), np.float32)])
+mesh2 = ch_time_mesh(n_ch=2)                       # 2 × 4 on 8 devices
+vis2, _, _ = TimeParallelRenderer(s2, mesh2).render(x2)
+vis2_ref, _, _ = Pipeline(s2).process(x2)
+print("2-D mesh:", dict(zip(mesh2.axis_names, mesh2.devices.shape)),
+      "| max |Δvis| vs single-device:",
+      float(np.abs(np.asarray(vis2) - np.asarray(vis2_ref)).max()))
