@@ -110,27 +110,39 @@ class EmSpecApp:
         old = self.settings
         if new == old:
             return "noop"
-        self.settings = new
+        # exception safety: build everything the new settings need
+        # BEFORE mutating any of self — if construction raises (a value
+        # the Settings validation didn't anticipate), the app keeps
+        # running on its old, consistent state instead of being left
+        # half-applied (found by a hostile-settings barrage: a
+        # construction-time error used to land after ``self.settings``
+        # was already swapped)
         if is_structural_change(old, new):
             # re-specialize: fresh stream (pre-warmed executables make this
             # stall-free), fresh display geometry if it changed
-            was_paused = self.stream._paused
-            self.stream = Stream(new)
-            if was_paused:
-                self.stream.pause()
+            stream = Stream(new)
             if (new.raster_width != old.raster_width
                     or new.raster_height != old.raster_height):
-                self.waterfall = Waterfall(new.raster_width, new.raster_height,
-                                           new.scroll_speed,
-                                           lut_table=lut(new.colormap))
+                waterfall = Waterfall(new.raster_width, new.raster_height,
+                                      new.scroll_speed,
+                                      lut_table=lut(new.colormap))
             else:
-                self.waterfall.scroll_speed = new.scroll_speed
-                self.waterfall.lut_table = lut(new.colormap)
+                waterfall = self.waterfall
+            if self.stream._paused:
+                stream.pause()
+            self.settings = new
+            self.stream = stream
+            self.waterfall = waterfall
+            self.waterfall.scroll_speed = new.scroll_speed
+            self.waterfall.lut_table = lut(new.colormap)
             return "structural"
         # continuous: swap the params pytree in place — next hop sees it
-        self.stream.params = self.stream.pipe.params(new)
+        params = self.stream.pipe.params(new)
+        table = lut(new.colormap)                      # LUT is data
+        self.settings = new
+        self.stream.params = params
         self.waterfall.scroll_speed = new.scroll_speed
-        self.waterfall.lut_table = lut(new.colormap)   # LUT is data
+        self.waterfall.lut_table = table
         return "continuous"
 
     def set(self, **changes) -> str:

@@ -117,7 +117,50 @@ class Settings:
     low_end_cutoff: float = 200.0       # Low-End-Boost ramp corner frequency
     reassign_floor_db: float = -120.0   # drop reassigned energy below this power
 
+    # every float-valued knob: a hostile/typo'd value (string, None,
+    # NaN, inf) must fail HERE with a clean ValueError — at the
+    # ``replace()`` boundary, before any pipeline state mutates — not
+    # as an arbitrary exception deep inside table construction (the
+    # web shell turns these into 400s; found by a hostile-settings
+    # barrage against the live /api/settings endpoint)
+    _FLOAT_FIELDS = ("brightness", "db_range", "gain", "freq_scale",
+                     "low_end_boost", "noise_gate_db", "agc_strength",
+                     "smoothing", "scroll_speed", "freq_min",
+                     "crossover_low", "crossover_high", "low_end_cutoff",
+                     "reassign_floor_db")
+
     def __post_init__(self):
+        import math
+        for fname in self._FLOAT_FIELDS:
+            v = getattr(self, fname)
+            # bound at float32 range, not float64: the params pytree is
+            # f32 on device, so an f64-finite 1e308 would silently
+            # overflow to inf past this gate
+            if not isinstance(v, (int, float)) or isinstance(v, bool) \
+                    or not math.isfinite(v) or abs(v) > 3.0e38:
+                raise ValueError(
+                    f"{fname} must be a finite number (float32 range), "
+                    f"got {v!r}")
+        for fname, lo in (("raster_height", 2), ("raster_width", 1),
+                          ("sample_rate", 1), ("hop", 0)):
+            v = getattr(self, fname)
+            if not isinstance(v, int) or isinstance(v, bool) or v < lo:
+                raise ValueError(f"{fname} must be an int >= {lo}, got {v!r}")
+        if self.db_range <= 0:
+            raise ValueError(f"db_range must be > 0, got {self.db_range}")
+        if self.scroll_speed <= 0:
+            raise ValueError(
+                f"scroll_speed must be > 0, got {self.scroll_speed}")
+        if not (0.02 <= self.freq_scale <= 100.0):
+            # zoom < 0.02 stretches the ~10-octave audio span past
+            # exp2's float64 range (log_freq_axis would emit inf rows)
+            raise ValueError(
+                f"freq_scale must be in [0.02, 100], got {self.freq_scale}")
+        for fname in ("freq_min", "crossover_low", "crossover_high",
+                      "low_end_cutoff"):
+            if getattr(self, fname) <= 0:
+                raise ValueError(
+                    f"{fname} must be > 0, got {getattr(self, fname)}")
         if self.fft_size not in FFT_SIZES:
             raise ValueError(f"fft_size must be one of {FFT_SIZES}, got {self.fft_size}")
         if self.mode not in (MODE_ENHANCED, MODE_NATURAL):

@@ -91,7 +91,11 @@ def build_merge_tables(sizes: tuple, sample_rate: int, rows: int,
         bin_hz = sample_rate / n
         pos = row_freqs / bin_hz                 # fractional bin per row
         k_count = n // 2 + 1
-        i0 = np.clip(np.floor(pos).astype(np.int32), 0, k_count - 2)
+        # clip BEFORE the int cast: an extreme (finite) zoom can push
+        # pos past int32, and float→int of such values is an invalid
+        # cast (RuntimeWarning + platform-defined result); the clipped
+        # value is identical for every in-range pos
+        i0 = np.floor(np.clip(pos, 0, k_count - 2)).astype(np.int32)
         frac = np.clip(pos - i0, 0.0, 1.0)
         i0s.append(i0)
         w0s.append((1.0 - frac).astype(np.float32))

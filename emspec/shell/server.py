@@ -299,6 +299,14 @@ class ShellServer:
                     except (ValueError, TypeError) as e:
                         self._json({"error": str(e)}, 400)
                         return
+                    except Exception as e:          # noqa: BLE001
+                        # a value the Settings validation didn't
+                        # anticipate: app.set is exception-safe (state
+                        # unchanged), so answer with JSON instead of a
+                        # dead socket
+                        self._json({"error": f"{type(e).__name__}: {e}"},
+                                   500)
+                        return
                     self._json({"kind": kind,
                                 "settings": app.settings.to_dict(),
                                 "update": shell.update_check.notice})

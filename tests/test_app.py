@@ -119,3 +119,30 @@ def test_crossover_change_is_structural(tmp_path):
     app = _app(tmp_path)
     assert app.set(crossover_low=500.0) == "structural"
     assert app.set(freq_min=40.0) == "structural"
+
+
+def test_apply_settings_is_exception_safe(tmp_path, monkeypatch):
+    """If constructing the new pipeline raises (a value the Settings
+    validation didn't anticipate), the app must keep running on its
+    old, consistent state — not be left with new settings and an old
+    stream (found by a hostile-settings barrage: ``self.settings`` used
+    to be swapped before ``Stream(new)`` could fail)."""
+    import pytest
+
+    import emspec.app as app_mod
+
+    app = _app(tmp_path)
+    old_settings, old_stream = app.settings, app.stream
+
+    def boom(_settings, *a, **kw):
+        raise RuntimeError("construction-time failure")
+
+    monkeypatch.setattr(app_mod, "Stream", boom)
+    with pytest.raises(RuntimeError):
+        app.set(fft_size=512)           # structural -> hits the boom
+    assert app.settings == old_settings
+    assert app.stream is old_stream
+    monkeypatch.undo()
+    # still alive: a real change works, audio still paints
+    assert app.set(gain=9.0) == "continuous"
+    assert app.push_audio(synth.tone(440.0, 0.3, SR)) > 0

@@ -110,3 +110,32 @@ def test_reassign_floor_db_is_wired():
                               lo.num_columns(len(x)))
     assert p_lo.max() > 0
     assert float(np.asarray(vis).max()) == 0.0            # everything dropped
+
+
+def test_hostile_values_rejected_at_the_settings_boundary():
+    """Every float knob rejects non-numbers, NaN/inf, and f64-finite
+    values past the float32 range (the params pytree is f32 on device);
+    structural ints reject zero/negative/float.  These must fail at
+    ``replace()`` with ValueError — before any pipeline state mutates —
+    so the web shell's /api/settings turns them into clean 400s (found
+    by a hostile-settings barrage against the live endpoint)."""
+    hostile = [
+        {"gain": "x"}, {"gain": None}, {"gain": [1, 2]},
+        {"gain": float("nan")}, {"db_range": float("inf")},
+        {"db_range": 1e308},            # f64-finite, f32-inf
+        {"db_range": -3}, {"db_range": 0},
+        {"brightness": "bright"}, {"low_end_boost": float("-inf")},
+        {"agc_strength": 1e308}, {"scroll_speed": 0},
+        {"freq_scale": -5.0}, {"freq_scale": 0.0}, {"freq_scale": 1e300},
+        {"raster_height": 0}, {"raster_height": -3},
+        {"raster_height": 3.5}, {"raster_width": 0},
+        {"hop": -1}, {"sample_rate": 0},
+        {"freq_min": 0.0}, {"crossover_low": -1.0},
+    ]
+    base = Settings()
+    for kw in hostile:
+        with pytest.raises(ValueError):
+            base.replace(**kw)
+    # the healthy envelope is untouched
+    base.replace(gain=7.5, freq_scale=0.02, db_range=120.0,
+                 raster_height=2, hop=0, scroll_speed=0.25)

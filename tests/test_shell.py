@@ -354,3 +354,25 @@ def test_client_hangup_is_silent_and_nonfatal(shell, capsys):
     except ValueError:
         shell.httpd.handle_error(None, ("127.0.0.1", 1))
     assert "ValueError" in capsys.readouterr().err
+
+
+def test_hostile_settings_barrage_over_http(shell):
+    """Hostile /api/settings payloads (types, NaN/inf, zero dims,
+    bogus keys) must each answer 400 with a JSON error — never a dead
+    socket — and leave the app alive, painting, and settable."""
+    import urllib.error
+
+    hostile = [{"gain": "x"}, {"gain": None}, {"smoothing": float("nan")},
+               {"db_range": 1e308}, {"freq_scale": -5.0},
+               {"raster_height": 0}, {"bogus_key": 1}, {"gain": [1, 2]},
+               {"scroll_speed": 0}, {"sample_rate": 0}]
+    for h in hostile:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(shell, "/api/settings", h)
+        assert ei.value.code == 400
+        assert "error" in json.loads(ei.value.read())
+    f1 = _get(shell, "/api/frame")
+    time.sleep(0.5)
+    assert _get(shell, "/api/frame") != f1          # still painting
+    assert _post(shell, "/api/settings",
+                 {"gain": 5.0})["kind"] == "continuous"
