@@ -131,12 +131,17 @@ class Settings:
 
     def __post_init__(self):
         import math
+
+        import numpy as _np
         for fname in self._FLOAT_FIELDS:
             v = getattr(self, fname)
             # bound at float32 range, not float64: the params pytree is
             # f32 on device, so an f64-finite 1e308 would silently
-            # overflow to inf past this gate
-            if not isinstance(v, (int, float)) or isinstance(v, bool) \
+            # overflow to inf past this gate.  numpy scalars are
+            # legitimate library inputs (np.float64 subclasses float;
+            # np.float32/np.int64 do not subclass anything).
+            if not isinstance(v, (int, float, _np.integer, _np.floating)) \
+                    or isinstance(v, bool) \
                     or not math.isfinite(v) or abs(v) > 3.0e38:
                 raise ValueError(
                     f"{fname} must be a finite number (float32 range), "
@@ -144,7 +149,8 @@ class Settings:
         for fname, lo in (("raster_height", 2), ("raster_width", 1),
                           ("sample_rate", 1), ("hop", 0)):
             v = getattr(self, fname)
-            if not isinstance(v, int) or isinstance(v, bool) or v < lo:
+            if not isinstance(v, (int, _np.integer)) or isinstance(v, bool) \
+                    or v < lo:
                 raise ValueError(f"{fname} must be an int >= {lo}, got {v!r}")
         if self.db_range <= 0:
             raise ValueError(f"db_range must be > 0, got {self.db_range}")

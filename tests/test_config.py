@@ -139,3 +139,20 @@ def test_hostile_values_rejected_at_the_settings_boundary():
     # the healthy envelope is untouched
     base.replace(gain=7.5, freq_scale=0.02, db_range=120.0,
                  raster_height=2, hop=0, scroll_speed=0.25)
+
+
+def test_numpy_scalar_settings_accepted():
+    """Library callers legitimately hand numpy scalars to replace();
+    the boundary validation must accept them (np.float32/np.int64 do
+    not subclass Python float/int) while still rejecting non-finite
+    numpy values."""
+    import numpy as np
+
+    s = Settings().replace(gain=np.float32(4.5),
+                           raster_height=np.int64(128),
+                           freq_scale=np.float64(1.5))
+    assert s.gain == np.float32(4.5)
+    with pytest.raises(ValueError):
+        Settings(gain=np.float32("nan"))
+    with pytest.raises(ValueError):
+        Settings(raster_height=np.int64(0))
